@@ -36,6 +36,13 @@ def word_shingles(col: Column | str = "text", k: int = 3) -> Column:
     Docs with fewer than k tokens contribute their whole (normalized)
     token string as one shingle, so short docs still participate in
     Jaccard instead of silently vanishing. Blank docs → empty array.
+
+    PERFORMANCE TRAP: the slice lambda captures the outer token array,
+    and Spark re-evaluates captured expressions per element — this
+    expression is O(n_tokens²) per row. Use ONLY on short documents
+    (SQL-parity queries); the scale path is
+    operators/minhash.py::signatures, which shingles linearly over
+    JVM-hashed tokens inside an Arrow UDF.
     """
     toks = tokens(col)
     n = F.size(toks)

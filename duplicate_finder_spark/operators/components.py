@@ -1,0 +1,83 @@
+"""Distributed connected components: alternating large-star / small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+as iterative DataFrame joins — O(log n) rounds, each round plain
+groupBy/join shuffles, localCheckpoint per round to cut lineage.
+
+This realizes the transitive grouping the reference gets implicitly from
+exact hash equality (equal SHA-256 ⇒ same dict key ⇒ same group,
+duplicate_finder.py:198-250): near-dup edges are not transitive, so the
+closure must be computed. Node ids are urls; the component representative
+is the MINIMUM url — which makes the downstream keep-first decision
+(rank-1 by url, duplicate_finder.py:309) the cluster representative for
+free.
+
+Convergence: a round's edge set is compared to the previous one by
+(count, sum(xxhash64(src,dst))) checksum — O(1) driver data per round,
+no exceptAll shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect strictly-larger neighbors to
+    min(Γ(u) ∪ {u})."""
+    nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")) \
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    m = (nbrs.groupBy("u")
+         .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    return (nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over its ≤-neighbors: connect them (and u) to the
+    minimum."""
+    # orient edges larger → smaller
+    e = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs_plus_self = e.unionByName(
+        e.select("u", F.col("u").alias("v")).distinct())
+    return (nbrs_plus_self.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct())
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38) accumulator: ANSI-safe (no long overflow) up to ~1e19 edges
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(30,0)")).alias("h")
+    ).collect()[0]
+    return row["n"], int(row["h"]) if row["h"] is not None else 0
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) undirected → assignments (url, cluster_id) where
+    cluster_id is the component's minimum url. Every node appearing in an
+    edge gets a row (representatives map to themselves)."""
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct().localCheckpoint())
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # post-convergence: star edges child→root
+    roots = e.select(F.col("dst").alias("url")).distinct() \
+        .join(e.select(F.col("src").alias("url")).distinct(),
+              "url", "left_anti") \
+        .select("url", F.col("url").alias("cluster_id"))
+    members = e.select(F.col("src").alias("url"),
+                       F.col("dst").alias("cluster_id"))
+    return members.unionByName(roots).distinct()

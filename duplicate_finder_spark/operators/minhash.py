@@ -1,0 +1,120 @@
+"""MinHash signatures over word-k-shingles — the near-dup generalization
+of the reference's per-file SHA-256 (utils.py:10-16): instead of one hash
+that must match exactly, ``num_perm`` min-hashes that match proportionally
+to shingle-set Jaccard (Broder 1997).
+
+Division of labor (scale-first):
+* tokenization + base 64-bit TOKEN hashing run JVM-side — a single
+  codegen'd pass (``transform(tokens, t -> xxhash64(t))``; the lambda uses
+  only its argument, so nothing is re-evaluated per element — a captured
+  outer expression inside a higher-order-function lambda is re-executed
+  per element, which made expression-level shingling O(n²) per doc);
+* shingle formation + the ``num_perm`` permutations run in ONE
+  Arrow-batched pandas UDF using numpy uint64 arithmetic: a k-gram shingle
+  hash is a position-weighted mix of k consecutive token hashes (linear,
+  vectorized), the signature is min((a_i * shingle + b_i) mod 2^64) —
+  no per-row Python string work (BASELINE.json input_hint).
+
+The ``shingles`` column (distinct shingle hashes) is retained for the
+exact-Jaccard verify stage; Jaccard over 64-bit shingle hashes equals
+Jaccard over the shingle strings up to negligible collision mass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from duplicate_finder_spark.config import PipelineConfig
+from duplicate_finder_spark.functions.text import tokens
+
+# fixed odd mixing constants for combining consecutive token hashes into a
+# shingle hash (position-dependent so "a b" != "b a")
+_POS_MIX_SEED = 0x9E3779B97F4A7C15
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    # odd multipliers → bijective mod 2^64
+    a = rng.randint(1, 1 << 62, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.randint(0, 1 << 62, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _pos_weights(k: int) -> np.ndarray:
+    # deterministic odd per-position multipliers
+    rng = np.random.RandomState(k * 1000003 + 7)
+    return rng.randint(1, 1 << 62, size=k, dtype=np.uint64) * 2 + 1
+
+
+def shingle_hashes_np(tok_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Distinct k-gram shingle hashes from a token-hash vector (uint64).
+
+    Shorter-than-k docs hash their whole token sequence as one shingle
+    (mirrors functions/text.py::word_shingles semantics).
+    """
+    w = _pos_weights(k)
+    n = len(tok_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        # 1-element array ops: numpy array arithmetic wraps mod 2^64
+        # silently (scalar ops would emit overflow warnings)
+        acc = np.asarray([_POS_MIX_SEED], dtype=np.uint64)
+        for i in range(n):
+            acc = acc * w[i % k] + tok_hashes[i:i + 1]
+        return acc
+    m = n - k + 1
+    acc = np.full(m, np.uint64(_POS_MIX_SEED), dtype=np.uint64)
+    for j in range(k):
+        acc = acc * w[j] + tok_hashes[j:j + m]
+    return np.unique(acc)
+
+
+def make_signature_udf(k: int, num_perm: int, seed: int):
+    """Arrow UDF: array<long> token hashes → struct(shingles, minhash)."""
+    a, b = _perm_params(num_perm, seed)
+    out_type = StructType([
+        StructField("shingles", ArrayType(LongType())),
+        StructField("minhash", ArrayType(LongType())),
+    ])
+
+    @F.pandas_udf(out_type)
+    def signature(tok_hashes: pd.Series) -> pd.DataFrame:
+        sh_out, mh_out = [], []
+        for row in tok_hashes:
+            if row is None or len(row) == 0:
+                sh_out.append(None)
+                mh_out.append(None)
+                continue
+            toks = np.asarray(row, dtype=np.int64).view(np.uint64)
+            sh = shingle_hashes_np(toks, k)
+            mixed = a[:, None] * sh[None, :] + b[:, None]
+            sh_out.append(sh.view(np.int64))
+            mh_out.append(mixed.min(axis=1).view(np.int64))
+        return pd.DataFrame({"shingles": sh_out, "minhash": mh_out})
+
+    return signature
+
+
+def signatures(pages: DataFrame, cfg: PipelineConfig,
+               url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """→ (url, n_shingles, shingles: array<long>, minhash: array<long>).
+
+    Rows with zero tokens (blank docs) are excluded — exact dedup owns
+    those (operators/exact.py).
+    """
+    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    sig = make_signature_udf(cfg.shingle_size, cfg.num_perm, cfg.seed)
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    tok_hashes.alias("_th"))
+            .filter(F.size("_th") > 0)
+            .withColumn("_sig", sig("_th"))
+            .select("url",
+                    F.col("_sig.shingles").alias("shingles"),
+                    F.col("_sig.minhash").alias("minhash"))
+            .withColumn("n_shingles", F.size("shingles")))

@@ -1,0 +1,82 @@
+"""SimHash fuzzy matching (Charikar 2002, as deployed for web dedup in
+Manku et al., WWW'07): 64-bit per-doc fingerprint whose Hamming distance
+tracks cosine similarity of the token multisets.
+
+Same division of labor as MinHash: token hashing JVM-side (xxhash64 in a
+``transform``), the bit-vote packing vectorized in one Arrow-batched
+pandas UDF. Pairing uses the Manku block trick: split the 64-bit
+fingerprint into ``n_blocks`` contiguous blocks — any pair within Hamming
+distance d < n_blocks shares at least one exact block, so an equi-join
+per block finds all candidates; exact Hamming (bit_count(xor), JVM-side)
+then filters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from duplicate_finder_spark.config import PipelineConfig
+from duplicate_finder_spark.functions.text import tokens
+
+
+@F.pandas_udf(LongType())
+def _simhash_from_token_hashes(token_hashes: pd.Series) -> pd.Series:
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, row in enumerate(token_hashes):
+        if row is None or len(row) == 0:
+            out[i] = 0
+            continue
+        h = np.asarray(row, dtype=np.int64).view(np.uint64)
+        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        packed = ((votes > 0).astype(np.uint64) << shifts).sum(
+            dtype=np.uint64)
+        out[i] = packed.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash(pages: DataFrame, url_col: str = "url",
+            text_col: str = "text") -> DataFrame:
+    """→ (url, simhash: long). Empty docs get simhash 0."""
+    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        _simhash_from_token_hashes(tok_hashes).alias("simhash"))
+
+
+def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
+                  n_blocks: int = 4) -> DataFrame:
+    """→ (url_a, url_b, hamming) with hamming ≤ cfg.simhash_hamming_max.
+
+    Requires simhash_hamming_max < n_blocks (pigeonhole guarantee).
+    """
+    if cfg.simhash_hamming_max >= n_blocks:
+        raise ValueError("need hamming_max < n_blocks for exact recall")
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(*[
+        F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+        for i in range(n_blocks)
+    ])
+    exploded = (sims
+                .filter(F.col("simhash") != 0)
+                .select("url", "simhash",
+                        F.posexplode(blocks).alias("block", "block_val")))
+    left = exploded.select("block", "block_val",
+                           F.col("url").alias("url_a"),
+                           F.col("simhash").alias("sh_a"))
+    right = exploded.select("block", "block_val",
+                            F.col("url").alias("url_b"),
+                            F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (left.join(right, ["block", "block_val"])
+            .filter(F.col("url_a") < F.col("url_b"))
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= cfg.simhash_hamming_max)
+            .select("url_a", "url_b", "hamming")
+            .distinct())
