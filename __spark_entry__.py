@@ -1,38 +1,582 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator from SURVEY.md §2 (or a
+training-data-pipeline extension) through the ``duplicate_finder_spark``
+library; ``oracle_sql()`` holds the DuckDB-runnable ANSI equivalent.
+Column names/types are aligned pair-by-pair (the driver hashes values
+after sorting columns by name).
+
+Dedup queries that need duplicates to exist run over a deterministic
+SELF-UNION of ``documents`` (copy shifted by +10_000_000 in doc_id) —
+the sf0.01 corpus has no planted exact dups, and an empty-vs-empty match
+would verify nothing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from duplicate_finder_spark.config import PipelineConfig
+from duplicate_finder_spark.functions.globs import glob_to_java_regex
+from duplicate_finder_spark.functions.hashing import (content_sha256,
+                                                      normalized_fingerprint)
+from duplicate_finder_spark.functions.text import (punct_ratio,
+                                                   quality_score,
+                                                   token_count, tokens)
+from duplicate_finder_spark.operators import exact as ex
+from duplicate_finder_spark.operators.ann import cosine_pairs_above, cosine_topk
+from duplicate_finder_spark.operators.components import connected_components
+from duplicate_finder_spark.operators.jaccard import ngram_jaccard_pairs
+from duplicate_finder_spark.operators.lsh import candidate_pairs, verify_pairs
+from duplicate_finder_spark.operators.minhash import signatures
+from duplicate_finder_spark.operators.multimodal import (binary_meta,
+                                                         extract_features,
+                                                         with_payload)
+from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
+
+SHIFT = 10_000_000
+JACCARD_T = 0.8
+COSINE_T = 0.42
+ANN_K = 10
+ANN_NQ = 10
+
+GLOB_INCLUDE = ["src1/*", "src2/*"]
+GLOB_EXCLUDE = ["*3"]
+
+_STOP = {
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu"],
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "uk": ["і", "та", "в", "на", "це", "що", "не"],
+}
+
+
+# --- helpers ----------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _self_union(docs: DataFrame) -> DataFrame:
+    """documents ∪ shifted copy — deterministic exact-dup harness."""
+    base = docs.select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + SHIFT).alias("doc_id"), "text")
+    return base.unionByName(copy)
+
+
+def _exact_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _self_union(_docs(spark, sf_dir))
+    return ex.exact_clusters(u, PipelineConfig(), url_col="doc_id")
+
+
+# --- queries ----------------------------------------------------------------
+
+def q_exact_dup_clusters(spark, sf_dir):
+    return _exact_clusters_docs(spark, sf_dir) \
+        .select("content_hash", "doc_id")
+
+
+def q_exact_dup_decisions(spark, sf_dir):
+    cl = _exact_clusters_docs(spark, sf_dir)
+    return cl.select(
+        "doc_id", "content_hash",
+        F.when(F.col("rank") == 1, "keep").otherwise("delete").alias("action"))
+
+
+def q_dup_group_stats(spark, sf_dir):
+    st = ex.cluster_stats(_exact_clusters_docs(spark, sf_dir))
+    return st.select("content_hash", "group_size", "doc_size",
+                     "total_bytes", "reclaimable_bytes", "n_comparisons")
+
+
+def q_size_prefilter(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "size", F.length("text").cast("long"))
+    return ex.size_prefilter(docs).select("doc_id", "size")
+
+
+def q_filter_size_range(spark, sf_dir):
+    cfg = PipelineConfig(min_size=150, max_size=300)
+    docs = _docs(spark, sf_dir)
+    return ex.apply_filters(docs, cfg, url_col="doc_id") \
+        .select("doc_id", F.col("size"))
+
+
+def q_filter_glob(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.concat_ws("/", "source", F.col("doc_id").cast("string")))
+    cfg = PipelineConfig(include_patterns=GLOB_INCLUDE,
+                         exclude_patterns=GLOB_EXCLUDE)
+    return ex.apply_filters(docs, cfg, url_col="url") \
+        .select("doc_id", "url")
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", "text")
+    noisy = docs.select(
+        (F.col("doc_id") + SHIFT).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"))
+    u = base.unionByName(noisy).withColumn(
+        "fingerprint", normalized_fingerprint("text"))
+    multi = (u.groupBy("fingerprint").count()
+              .filter(F.col("count") > 1).select("fingerprint"))
+    return u.join(F.broadcast(multi), "fingerprint", "left_semi") \
+        .select("fingerprint", "doc_id")
+
+
+def q_token_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+def q_lang_distribution(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(token_count("text")), 6).alias("avg_tokens")))
+
+
+def q_lang_id(spark, sf_dir):
+    toks = tokens("text")
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+        for lang, words in _STOP.items()
+    }
+    s = scores
+    guess = (
+        F.when((s["de"] + s["en"] + s["fr"] + s["uk"]) == 0, "und")
+         .when((s["de"] >= s["en"]) & (s["de"] >= s["fr"])
+               & (s["de"] >= s["uk"]), "de")
+         .when((s["en"] >= s["fr"]) & (s["en"] >= s["uk"]), "en")
+         .when(s["fr"] >= s["uk"], "fr")
+         .otherwise("uk"))
+    return _docs(spark, sf_dir).select("doc_id", guess.alias("lang_guess"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                                threshold=JACCARD_T)
+    return pairs.select(F.col("id_a").alias("doc_id_a"),
+                        F.col("id_b").alias("doc_id_b"),
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Approximate path whose output must equal the exact n-gram query —
+    same shingle config, LSH candidates + exact verify."""
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=JACCARD_T)
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
+    sigs = signatures(docs, cfg)
+    verified = verify_pairs(candidate_pairs(sigs, cfg), sigs,
+                            cfg.jaccard_threshold)
+    return verified.select(
+        F.col("url_a").cast("long").alias("doc_id_a"),
+        F.col("url_b").cast("long").alias("doc_id_b"),
+        F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_cc_clusters(spark, sf_dir):
+    """Clusters over the scale path (MinHash/LSH candidates + exact
+    verify); the oracle closes over the exact n-gram pairs — equality
+    holds because verify keeps exactly the pairs with true Jaccard ≥ T
+    and the LSH s-curve at (32 bands × 4 rows) has ~1-5e-8 miss mass
+    at T=0.8."""
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=JACCARD_T)
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
+    sigs = signatures(docs, cfg)
+    verified = verify_pairs(candidate_pairs(sigs, cfg), sigs,
+                            cfg.jaccard_threshold)
+    edges = verified.select(F.col("url_a").alias("src"),
+                            F.col("url_b").alias("dst"))
+    assign = connected_components(edges)
+    return assign.select(F.col("cluster_id").cast("long").alias("cluster_id"),
+                         F.col("url").cast("long").alias("doc_id"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < ANN_NQ), k=ANN_K)
+    return out.select("query_id", "neighbor_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    return cosine_pairs_above(emb, COSINE_T).select(
+        F.col("id_a").alias("vec_id_a"), F.col("id_b").alias("vec_id_b"),
+        "sim")
+
+
+def q_multimodal_binary_meta(spark, sf_dir):
+    return binary_meta(with_payload(_docs(spark, sf_dir)))
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    out = (li.filter(F.col("l_shipdate") <=
+                     F.lit("1998-09-02 00:00:00").cast("timestamp"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity").alias("sum_qty"),
+                F.sum(ep).alias("_sbp"),
+                F.sum(ep * (F.lit(1).cast("decimal(18,2)") - d)).alias("_sdp"),
+                F.count("*").alias("count_order")))
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        "count_order")
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    top = (orders.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 3))
+    return (top.join(F.broadcast(cust),
+                     top.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                    F.col("rn").cast("long").alias("rn")))
+
+
+def q_nation_order_revenue(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    return (orders
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(tp).cast("double").alias("total_revenue")))
+
+
+def q_region_nation_count(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name").agg(F.count("*").alias("n_nations")))
+
+
+# rows-only (no SQL oracle): engine-defined hashes / stubs
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("%012d", "doc_id").alias("url"), "text")
+    cfg = PipelineConfig(simhash_hamming_max=3)
+    return simhash_pairs(simhash(docs), cfg).select(
+        F.col("url_a").cast("long").alias("doc_id_a"),
+        F.col("url_b").cast("long").alias("doc_id_b"),
+        F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    return extract_features(with_payload(_docs(spark, sf_dir)))
+
+
+# --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact-dup keep/delete decisions on sf0.001."""
+    return q_exact_dup_decisions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "exact_dup_decisions": q_exact_dup_decisions,
+        "dup_group_stats": q_dup_group_stats,
+        "size_prefilter": q_size_prefilter,
+        "filter_size_range": q_filter_size_range,
+        "filter_glob": q_filter_glob,
+        "fingerprint_dups": q_fingerprint_dups,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_distribution": q_lang_distribution,
+        "lang_id": q_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "cc_clusters": q_cc_clusters,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "nation_order_revenue": q_nation_order_revenue,
+        "region_nation_count": q_region_nation_count,
+        "simhash_pairs": q_simhash_pairs,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- oracles ----------------------------------------------------------------
+
+_UNION = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SHIFT} AS doc_id, text FROM documents
+"""
+
+_SHINGLES = r"""
+  WITH toksrc AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+    FROM documents
+  ), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+           WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [array_to_string(t[i:i+2], ' ')
+                 for i in range(1, len(t) - 1)] END)) AS s
+    FROM toksrc
+  ), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+  ), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ), jac AS (
+    SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS j
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+  )
+"""
+
+_JACCARD_PAIRS_SQL = _SHINGLES + f"""
+  SELECT id_a AS doc_id_a, id_b AS doc_id_b, round(j, 6) AS jaccard
+  FROM jac WHERE j >= {JACCARD_T}
+"""
+
+_TOKCOUNT = (r"CASE WHEN trim(text) = '' THEN 0 "
+             r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END")
+
+_PUNCT = (r"CASE WHEN length(text) = 0 THEN 0.0 "
+          r"ELSE (length(text) - length(regexp_replace(text, "
+          r"'[^0-9A-Za-z\s]', '', 'g'))) * 1.0 / length(text) END")
+
+_COS_SIM = """
+  round(
+    list_sum([qv[i] * nv[i] for i in range(1, len(qv) + 1)]) /
+    (sqrt(list_sum([x * x for x in qv])) *
+     sqrt(list_sum([x * x for x in nv]))), 6)
+"""
+
+
+def _stop_sql(words: list[str]) -> str:
+    lits = ", ".join("'" + w + "'" for w in words)
+    return (f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"t -> lower(t) IN ({lits})))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    inc_rx = [glob_to_java_regex(p) for p in GLOB_INCLUDE]
+    exc_rx = [glob_to_java_regex(p) for p in GLOB_EXCLUDE]
+    inc_pred = " OR ".join(f"regexp_matches(url, '{r}')" for r in inc_rx)
+    exc_pred = " AND ".join(f"NOT regexp_matches(url, '{r}')" for r in exc_rx)
+    sw = {lang: _stop_sql(words) for lang, words in _STOP.items()}
+    lang_case = f"""
+      CASE WHEN ({sw['de']}) + ({sw['en']}) + ({sw['fr']}) + ({sw['uk']}) = 0
+             THEN 'und'
+           WHEN ({sw['de']}) >= ({sw['en']}) AND ({sw['de']}) >= ({sw['fr']})
+                AND ({sw['de']}) >= ({sw['uk']}) THEN 'de'
+           WHEN ({sw['en']}) >= ({sw['fr']}) AND ({sw['en']}) >= ({sw['uk']})
+             THEN 'en'
+           WHEN ({sw['fr']}) >= ({sw['uk']}) THEN 'fr'
+           ELSE 'uk' END
     """
-    return {}
+    return {
+        "exact_dup_clusters": f"""
+          WITH u AS ({_UNION})
+          SELECT sha256(text) AS content_hash, doc_id FROM u
+          QUALIFY count(*) OVER (PARTITION BY sha256(text)) > 1
+        """,
+        "exact_dup_decisions": f"""
+          WITH u AS ({_UNION}),
+          h AS (SELECT doc_id, sha256(text) AS content_hash FROM u),
+          d AS (SELECT *, count(*) OVER (PARTITION BY content_hash) AS cnt,
+                       row_number() OVER (PARTITION BY content_hash
+                                          ORDER BY doc_id) AS rn
+                FROM h)
+          SELECT doc_id, content_hash,
+                 CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action
+          FROM d WHERE cnt > 1
+        """,
+        "dup_group_stats": f"""
+          WITH u AS ({_UNION}),
+          h AS (SELECT doc_id, length(text) AS sz,
+                       sha256(text) AS content_hash FROM u),
+          g AS (SELECT content_hash, count(*) AS group_size,
+                       max(sz) AS doc_size, sum(sz) AS total_bytes
+                FROM h GROUP BY content_hash HAVING count(*) > 1)
+          SELECT content_hash, group_size, doc_size,
+                 total_bytes::BIGINT AS total_bytes,
+                 (total_bytes - doc_size)::BIGINT AS reclaimable_bytes,
+                 (group_size * (group_size - 1) // 2)::BIGINT AS n_comparisons
+          FROM g
+        """,
+        "size_prefilter": """
+          SELECT doc_id, length(text)::BIGINT AS size FROM documents
+          QUALIFY count(*) OVER (PARTITION BY length(text)) > 1
+        """,
+        "filter_size_range": """
+          SELECT doc_id, length(text)::BIGINT AS size FROM documents
+          WHERE length(text) BETWEEN 150 AND 300
+        """,
+        "filter_glob": f"""
+          WITH w AS (SELECT doc_id,
+                            source || '/' || CAST(doc_id AS VARCHAR) AS url
+                     FROM documents)
+          SELECT doc_id, url FROM w WHERE ({inc_pred}) AND ({exc_pred})
+        """,
+        "fingerprint_dups": f"""
+          WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {SHIFT}, upper(text) || '  ' FROM documents
+          ), fp AS (
+            SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g'))) AS fingerprint
+            FROM u)
+          SELECT fingerprint, doc_id FROM fp
+          QUALIFY count(*) OVER (PARTITION BY fingerprint) > 1
+        """,
+        "token_stats": f"""
+          SELECT doc_id, ({_TOKCOUNT})::BIGINT AS n_tokens,
+                 round({_PUNCT}, 6) AS punct_ratio
+          FROM documents
+        """,
+        "quality_scores": f"""
+          SELECT doc_id, round((
+            (length(text) BETWEEN 50 AND 100000)::INT +
+            (({_TOKCOUNT}) BETWEEN 10 AND 50000)::INT +
+            (({_PUNCT}) <= 0.3)::INT) / 3.0, 6) AS quality
+          FROM documents
+        """,
+        "lang_distribution": f"""
+          SELECT lang, count(*) AS n_docs,
+                 round(avg({_TOKCOUNT}), 6) AS avg_tokens
+          FROM documents GROUP BY lang
+        """,
+        "lang_id": f"""
+          SELECT doc_id, {lang_case} AS lang_guess FROM documents
+        """,
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "cc_clusters": _SHINGLES.replace(
+            "WITH toksrc", "WITH RECURSIVE toksrc", 1) + f"""
+          , pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {JACCARD_T}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT e.dst AS node, reach.r
+            FROM reach JOIN edges e ON e.src = reach.node
+          )
+          SELECT min(r) AS cluster_id, node AS doc_id
+          FROM reach GROUP BY node
+        """,
+        "ann_cosine_topk": f"""
+          WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < {ANN_NQ}),
+          n AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv
+                FROM embeddings),
+          scored AS (
+            SELECT qid AS query_id, nid AS neighbor_id, {_COS_SIM} AS sim
+            FROM q, n WHERE qid != nid),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, sim, rank
+          FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "embedding_cosine_pairs": f"""
+          WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                     FROM embeddings WHERE vec_id < 200),
+          s AS (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(
+                     list_sum([a.e[i] * b.e[i]
+                               for i in range(1, len(a.e) + 1)]) /
+                     (sqrt(list_sum([x * x for x in a.e])) *
+                      sqrt(list_sum([x * x for x in b.e]))), 6) AS sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          SELECT vec_id_a, vec_id_b, sim FROM s WHERE sim >= {COSINE_T}
+        """,
+        "multimodal_binary_meta": """
+          SELECT doc_id,
+                 octet_length(encode(text))::BIGINT AS n_bytes,
+                 upper(substr(hex(encode(text)), 1, 16)) AS head_hex
+          FROM documents
+        """,
+        "tpch_pricing_summary": """
+          SELECT l_returnflag, l_linestatus,
+                 sum(l_quantity) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) AS sum_base_price,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(18,2)) -
+                           CAST(l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE) AS sum_disc_price,
+                 round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+          WITH t AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey) AS rn
+            FROM orders)
+          SELECT c_custkey, c_name, o_orderkey, o_totalprice, rn
+          FROM t JOIN customer ON o_custkey = c_custkey
+          WHERE rn <= 3
+        """,
+        "nation_order_revenue": """
+          SELECT n_name, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        """,
+        "region_nation_count": """
+          SELECT r_name, count(*) AS n_nations
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name
+        """,
+    }

@@ -1,0 +1,77 @@
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The headline metric is dedup docs/sec over the self-union exact +
+near-dup pipeline; per-query wall times are reported individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+HEADLINE = [
+    "exact_dup_decisions",
+    "minhash_lsh_pairs",
+    "cc_clusters",
+    "ngram_jaccard_pairs",
+    "token_stats",
+    "quality_scores",
+    "fingerprint_dups",
+    "ann_cosine_topk",
+    "tpch_pricing_summary",
+    "nation_order_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entrymod
+    from duplicate_finder_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    qs = entrymod.queries()
+
+    # warm the JVM/Arrow paths once on a trivial action
+    spark.range(1000).count()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        # count() forces full execution; results are small aggregates
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    dedup_secs = (timings["exact_dup_decisions"]
+                  + timings["minhash_lsh_pairs"] + timings["cc_clusters"])
+    # docs processed by the dedup chain: self-union (2x) + near-dup + CC
+    dedup_docs = n_docs * 2 + n_docs * 2
+    value = round(dedup_docs / dedup_secs, 1) if dedup_secs else 0.0
+
+    print(json.dumps({
+        "metric": "dedup_docs_per_sec",
+        "value": value,
+        "unit": "docs/sec",
+        "queries": timings,
+        "total_sec": round(sum(timings.values()), 3),
+        "n_docs": n_docs,
+        "cpus": int(cpus),
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,9 @@ def glob_to_java_regex(pattern: str) -> str:
     rx = fnmatch.translate(pattern)  # e.g. '(?s:...)\\Z'
     if rx.endswith("\\Z"):
         rx = rx[:-2] + "$"
-    return rx
+    # rlike is a CONTAINS match; fnmatch.fnmatch is re.match (anchored at
+    # the start) — anchor explicitly or 'src1/*' would match 'xsrc1/a'
+    return "^" + rx
 
 
 def include_predicate(patterns: list[str] | None,

@@ -1,0 +1,52 @@
+"""Exact n-gram Jaccard similarity — the SQL-checkable near-dup operator.
+
+Unlike the MinHash path (operators/minhash.py, probabilistic candidates),
+this computes EXACT word-k-gram Jaccard for every colliding pair via
+explode + self-equi-join on the shingle — the classic inverted-index
+pairing. Quadratic in the worst case (every pair sharing ≥1 shingle gets
+a row), so at 100 TB this runs AFTER candidate pruning or on bounded
+subsets; its role here is (a) the verify-stage oracle and (b) a directly
+DuckDB-checkable queries() entry.
+
+Skew note: high-document-frequency shingles (boilerplate) explode the
+self-join; ``max_doc_freq`` drops shingles shared by more than that many
+docs — the standard df-cut from plagiarism-detection literature, applied
+BEFORE the join so the hot keys never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.functions.text import word_shingles
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
+                        threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """→ (id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
+
+    NOTE: uses the expression-level ``word_shingles`` (fine for short
+    docs); pipe long docs through operators/minhash.py instead.
+    """
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(text_col, k)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    if max_doc_freq is not None:
+        rare = (sh.groupBy("s").count()
+                  .filter(F.col("count") <= max_doc_freq).select("s"))
+        sh = sh.join(rare, "s", "left_semi")
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (a.join(b, "s")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("c")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard",
+                        F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
