@@ -9,12 +9,17 @@ facade for resumability (north rule), see warehouse.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.config import PipelineConfig
 from duplicate_finder_spark.operators import exact as ex
 from duplicate_finder_spark.operators.components import connected_components
+from duplicate_finder_spark.operators.decisions import decide
 from duplicate_finder_spark.operators.lsh import candidate_pairs, verify_pairs
 from duplicate_finder_spark.operators.minhash import signatures
 
@@ -61,3 +66,73 @@ def dedup_clusters(pages: DataFrame, cfg: PipelineConfig,
     return (sized
             .withColumn("rank", F.row_number().over(w))
             .select("cluster_id", "url", "rank", ex.SIZE_COL))
+
+
+# --- resumable, lineage-tracked run (north rule: checkpoint + metrics) ------
+
+
+def config_fingerprint(cfg: PipelineConfig, input_id: str) -> str:
+    """Deterministic stage-cache key from (pinned config, input id)."""
+    payload = json.dumps({
+        "input": input_id,
+        "shingle_size": cfg.shingle_size, "num_perm": cfg.num_perm,
+        "lsh_bands": cfg.lsh_bands, "jaccard": cfg.jaccard_threshold,
+        "seed": cfg.seed, "min": cfg.min_size, "max": cfg.max_size,
+        "inc": cfg.include_patterns, "exc": cfg.exclude_patterns,
+        "hot": cfg.hot_bucket_limit,
+    }, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def run_resumable(spark: SparkSession, pages: DataFrame,
+                  cfg: PipelineConfig, warehouse, input_id: str,
+                  keep_overrides: DataFrame | None = None) -> DataFrame:
+    """Full pipeline with per-stage warehouse checkpoints: a rerun after
+    a failure resumes from the last completed stage (fingerprint match),
+    and every stage logs a row into the ``metrics`` table (stage, rows,
+    wall seconds, resumed flag) — the engine's answer to the reference's
+    per-stage progress banners (duplicate_finder.py:31,131,186,206).
+    """
+    fp = config_fingerprint(cfg, input_id)
+    metrics: list[dict] = []
+
+    def staged(name: str, compute):
+        t0 = time.time()
+        df, resumed = warehouse.checkpoint_or_compute(f"{name}_{fp}", fp,
+                                                      compute)
+        metrics.append({"stage": name, "rows": warehouse.manifest(
+            f"{name}_{fp}").rows, "wall_sec": round(time.time() - t0, 3),
+            "resumed": resumed, "fingerprint": fp})
+        return df
+
+    filtered = ex.apply_filters(pages, cfg)
+    sigs = staged("signatures", lambda: signatures(filtered, cfg))
+    edges = staged("edges", lambda: (
+        exact_edges(ex.exact_clusters(pages, cfg)).unionByName(
+            verify_pairs(candidate_pairs(sigs, cfg), sigs,
+                         cfg.jaccard_threshold)
+            .select(F.col("url_a").alias("src"),
+                    F.col("url_b").alias("dst")))))
+    clusters = staged("clusters", lambda: connected_components(edges))
+
+    # decisions are NOT checkpointed: they are cheap relative to the
+    # signature/edge/cluster stages and must react to a fresh
+    # keep_overrides table (SURVEY.md §3.4 checkpoints the three heavy
+    # boundaries only)
+    w = Window.partitionBy("cluster_id").orderBy("url")
+    ranked = (clusters
+              .join(filtered.select("url", ex.SIZE_COL), "url", "left")
+              .withColumn("rank", F.row_number().over(w)))
+    t0 = time.time()
+    decisions = decide(ranked, keep_overrides)
+    metrics.append({"stage": "decisions", "rows": decisions.count(),
+                    "wall_sec": round(time.time() - t0, 3),
+                    "resumed": False, "fingerprint": fp})
+
+    warehouse.write(
+        spark.createDataFrame(metrics,
+                              schema=("stage string, rows long, "
+                                      "wall_sec double, resumed boolean, "
+                                      "fingerprint string")),
+        f"metrics_{fp}", stage="metrics", fingerprint=fp)
+    return decisions

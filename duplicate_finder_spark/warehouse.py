@@ -1,0 +1,171 @@
+"""Warehouse facade: pluggable table format with checkpoint/resume.
+
+The north rule asks for Iceberg tables with resumable, lineage-tracked
+per-stage state. This sandbox has no Iceberg runtime jar (no network), so
+the facade ships two implementations behind one call surface:
+
+* ``ParquetWarehouse`` (default): a directory per table, written to a
+  temporary snapshot dir and atomically renamed, with a ``manifest.json``
+  carrying lineage (stage name, input fingerprint, config hash, row
+  count). Readers only ever see a complete snapshot.
+* ``IcebergWarehouse``: same call sites via ``saveAsTable``/``table`` on
+  a configured Iceberg catalog — activates when
+  ``spark.sql.catalog.<name>`` is present (config-only switch; the
+  code path is real, just not exercisable here).
+
+``checkpoint_or_compute`` is the resumability primitive: each pipeline
+stage (signatures, edges, clusters) calls it with a deterministic
+fingerprint; on rerun, a stage whose (input, config) fingerprint matches
+the manifest is read back instead of recomputed — the engine restarts
+from the last completed stage, replacing the reference's manual
+``.clear()`` memory management (duplicate_finder.py:45,54,72) with
+durable state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StageManifest:
+    stage: str
+    fingerprint: str
+    rows: int
+    written_at: float
+
+
+class ParquetWarehouse:
+    """Local/HDFS-path warehouse with atomic snapshot semantics."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "manifest.json")
+
+    # -- core API --------------------------------------------------------------
+
+    def write(self, df: DataFrame, name: str, stage: str = "",
+              fingerprint: str = "") -> StageManifest:
+        """Write df as the new snapshot of ``name`` (atomic rename)."""
+        final = self._table_dir(name)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        rows = self.spark.read.parquet(os.path.join(tmp, "data")).count()
+        manifest = StageManifest(stage=stage or name,
+                                 fingerprint=fingerprint, rows=rows,
+                                 written_at=time.time())
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest.__dict__, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return manifest
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._table_dir(name), "data"))
+
+    def manifest(self, name: str) -> StageManifest | None:
+        path = self._manifest_path(name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return StageManifest(**json.load(f))
+
+    def exists(self, name: str) -> bool:
+        return self.manifest(name) is not None
+
+    def drop(self, name: str) -> None:
+        d = self._table_dir(name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    # -- resumability ----------------------------------------------------------
+
+    def checkpoint_or_compute(self, name: str, fingerprint: str,
+                              compute) -> tuple[DataFrame, bool]:
+        """Return (df, resumed): reuse the stored stage iff its manifest
+        fingerprint matches; else compute, persist, and return fresh."""
+        m = self.manifest(name)
+        if m is not None and m.fingerprint == fingerprint:
+            return self.read(name), True
+        df = compute()
+        self.write(df, name, stage=name, fingerprint=fingerprint)
+        return self.read(name), False
+
+
+class IcebergWarehouse:
+    """Iceberg-backed implementation (same surface). Requires an Iceberg
+    catalog on the session (``spark.sql.catalog.<catalog>`` configs +
+    iceberg-spark-runtime jar); lineage rides Iceberg snapshot metadata
+    plus a ``<table>_manifest`` side table."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        self.spark = spark
+        self.prefix = f"{catalog}.{namespace}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.prefix}")
+
+    def _fq(self, name: str) -> str:
+        return f"{self.prefix}.{name}"
+
+    def write(self, df: DataFrame, name: str, stage: str = "",
+              fingerprint: str = "") -> StageManifest:
+        df.writeTo(self._fq(name)).using("iceberg").createOrReplace()
+        rows = self.spark.table(self._fq(name)).count()
+        manifest = StageManifest(stage=stage or name,
+                                 fingerprint=fingerprint, rows=rows,
+                                 written_at=time.time())
+        self.spark.createDataFrame([manifest.__dict__]) \
+            .writeTo(self._fq(name + "_manifest")).using("iceberg") \
+            .createOrReplace()
+        return manifest
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self._fq(name))
+
+    def manifest(self, name: str) -> StageManifest | None:
+        try:
+            row = self.spark.table(self._fq(name + "_manifest")).collect()
+        except Exception:  # noqa: BLE001 — table not found
+            return None
+        return StageManifest(**row[0].asDict()) if row else None
+
+    def exists(self, name: str) -> bool:
+        return self.manifest(name) is not None
+
+    def drop(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fq(name)}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fq(name + '_manifest')}")
+
+    def checkpoint_or_compute(self, name: str, fingerprint: str,
+                              compute) -> tuple[DataFrame, bool]:
+        m = self.manifest(name)
+        if m is not None and m.fingerprint == fingerprint:
+            return self.read(name), True
+        df = compute()
+        self.write(df, name, stage=name, fingerprint=fingerprint)
+        return self.read(name), False
+
+
+def get_warehouse(spark: SparkSession, root_or_catalog: str,
+                  fmt: str = "parquet"):
+    if fmt == "iceberg":
+        catalog, _, ns = root_or_catalog.partition(".")
+        return IcebergWarehouse(spark, catalog, ns or "dedup")
+    return ParquetWarehouse(spark, root_or_catalog)

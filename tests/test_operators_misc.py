@@ -1,0 +1,165 @@
+"""Tests: exact n-gram jaccard, ANN, multimodal plumbing, substring
+containment, warehouse checkpoint/resume, bench generator determinism."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.operators.ann import (cosine_pairs_above,
+                                                  cosine_topk,
+                                                  hyperplane_buckets)
+from duplicate_finder_spark.operators.jaccard import ngram_jaccard_pairs
+from duplicate_finder_spark.operators.multimodal import (binary_meta,
+                                                         decode_stub,
+                                                         extract_features,
+                                                         with_payload)
+from duplicate_finder_spark.operators.substring import containment_pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x e"),
+            (4, "z z z z z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, k=3, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # doc1 shingles {abc,bcd,cde}, doc3 {abc,bcx,cxe}: 1/5
+    assert math.isclose(pairs[(1, 3)], 0.2)
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_df_cut(spark):
+    rows = [(i, "hot hot hot hot") for i in range(10)] + [(99, "cold a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'hot hot hot' appears in 10 docs; df-cut at 5 removes all pairing
+    assert ngram_jaccard_pairs(df, 3, 0.1, max_doc_freq=5).count() == 0
+    assert ngram_jaccard_pairs(df, 3, 0.99).count() == 45
+
+
+def test_cosine_topk_and_pairs(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [1.0, 0.01])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = cosine_topk(df, df.filter("vec_id = 0"), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           top.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+    pairs = cosine_pairs_above(df, 0.99)
+    ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in ids and (0, 2) not in ids
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    vecs = [(i, [float(i % 7) - 3, float(i % 5) - 2, 1.0])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    b1 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(df).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(df).collect()}
+    assert b1 == b2
+    # identical vectors land in the same bucket
+    df2 = spark.createDataFrame([(100, [1.0, 2.0, 3.0]),
+                                 (101, [1.0, 2.0, 3.0])],
+                                "vec_id long, embedding array<float>")
+    bb = {r["vec_id"]: r["bucket"]
+          for r in hyperplane_buckets(df2).collect()}
+    assert bb[100] == bb[101]
+
+
+def test_multimodal_meta_and_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "")], "doc_id long, text string")
+    meta = {r["doc_id"]: r for r in binary_meta(with_payload(docs)).collect()}
+    assert meta[1]["n_bytes"] == 5
+    assert meta[1]["head_hex"] == b"hello".hex().upper()
+    assert meta[2]["n_bytes"] == 0 and meta[2]["head_hex"] == ""
+    feats = {r["doc_id"]: r for r in
+             extract_features(with_payload(docs)).collect()}
+    assert len(feats[1]["feature"]) == 8
+    expected = decode_stub(b"hello")
+    assert [round(x, 5) for x in feats[1]["feature"]] == \
+        [round(x, 5) for x in expected]
+
+
+def test_decode_stub_contract():
+    assert len(decode_stub(b"x", "audio")) == 8
+    assert decode_stub(b"x") == decode_stub(b"x")
+    try:
+        decode_stub(b"x", "hologram")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_containment_detects_embedded_doc(spark):
+    inner = " ".join(f"i{j}" for j in range(60))
+    pre = " ".join(f"p{j}" for j in range(200))
+    post = " ".join(f"q{j}" for j in range(200))
+    rows = [("u/inner", inner),
+            ("u/outer", f"{pre} {inner} {post}"),
+            ("u/other", " ".join(f"z{j}" for j in range(300)))]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = containment_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["url_inner"] == "u/inner" and r["url_outer"] == "u/outer"
+    assert r["containment"] >= 0.7
+
+
+def test_containment_rejects_non_verbatim(spark):
+    # shares many tokens but NOT as a contiguous substring
+    inner = " ".join(f"i{j}" for j in range(60))
+    scrambled = " ".join(f"i{j}" for j in range(59, -1, -1))
+    pad = " ".join(f"p{j}" for j in range(200))
+    df = spark.createDataFrame(
+        [("u/a", inner), ("u/b", f"{pad} {scrambled}")],
+        "url string, text string")
+    assert containment_pairs(df).count() == 0
+
+
+def test_containment_fixture_truth(spark, small_pages):
+    pages, truth = small_pages
+    want = {(r["url_a"], r["url_b"]) for r in
+            truth["truth_pairs"].filter(F.col("kind") == "substring")
+            .collect()}
+    got = {tuple(sorted((r["url_inner"], r["url_outer"])))
+           for r in containment_pairs(pages).collect()}
+    want_sorted = {tuple(sorted(p)) for p in want}
+    missed = want_sorted - got
+    recall = 1 - len(missed) / len(want_sorted) if want_sorted else 1.0
+    assert recall >= 0.95, f"containment recall {recall}, missed {missed}"
+
+
+def test_warehouse_checkpoint_resume(spark, tmp_path):
+    from duplicate_finder_spark.warehouse import get_warehouse
+    wh = get_warehouse(spark, str(tmp_path / "wh"))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    df1, resumed1 = wh.checkpoint_or_compute("stage1", "fp-abc", compute)
+    assert not resumed1 and df1.count() == 10 and calls == [1]
+    df2, resumed2 = wh.checkpoint_or_compute("stage1", "fp-abc", compute)
+    assert resumed2 and df2.count() == 10 and calls == [1]  # no recompute
+    # changed fingerprint (config/input changed) → recompute
+    _, resumed3 = wh.checkpoint_or_compute("stage1", "fp-XYZ", compute)
+    assert not resumed3 and calls == [1, 1]
+    m = wh.manifest("stage1")
+    assert m.rows == 10 and m.fingerprint == "fp-XYZ"
+
+
+def test_benchgen_deterministic_and_planted(spark):
+    from duplicate_finder_spark.benchgen import generate_pages
+    a = generate_pages(spark, 2000, seed=5)
+    b = generate_pages(spark, 2000, seed=5)
+    ha = a.agg(F.sum(F.xxhash64("url", "text").cast("decimal(30,0)"))) \
+        .collect()[0][0]
+    hb = b.agg(F.sum(F.xxhash64("url", "text").cast("decimal(30,0)"))) \
+        .collect()[0][0]
+    assert ha == hb
+    n_exact_groups = (a.groupBy(F.sha2(F.encode("text", "utf-8"), 256))
+                      .count().filter("count > 1").count())
+    assert n_exact_groups >= 50  # ~15% of 2000 in groups of 4
