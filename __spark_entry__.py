@@ -27,8 +27,15 @@ from duplicate_finder_spark.functions.text import (punct_ratio,
                                                    quality_score,
                                                    token_count, tokens)
 from duplicate_finder_spark.operators import exact as ex
-from duplicate_finder_spark.operators.ann import cosine_pairs_above, cosine_topk
+from duplicate_finder_spark.operators.ann import (cosine_pairs_above,
+                                                  cosine_topk,
+                                                  cosine_topk_lsh)
 from duplicate_finder_spark.operators.components import connected_components
+from duplicate_finder_spark.operators.events import (duplicate_events,
+                                                     hourly_rollup,
+                                                     session_stats)
+from duplicate_finder_spark.operators.lcs import lcs_verify
+from duplicate_finder_spark.operators.substring import containment_pairs
 from duplicate_finder_spark.operators.jaccard import ngram_jaccard_pairs
 from duplicate_finder_spark.operators.lsh import candidate_pairs, verify_pairs
 from duplicate_finder_spark.operators.minhash import signatures
@@ -283,6 +290,56 @@ def q_region_nation_count(spark, sf_dir):
             .groupBy("r_name").agg(F.count("*").alias("n_nations")))
 
 
+def _containment_harness(spark, sf_dir):
+    """base docs (≥250 chars) ∪ planted inner slices (tokens 5..34 of
+    every 5th doc, id shifted) — deterministic containment ground truth."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 250)
+    base = docs.select("doc_id", "text")
+    inner = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + SHIFT).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 5, 30), " ")
+         .alias("text"))
+    return base.unionByName(inner)
+
+
+def q_substring_containment(spark, sf_dir):
+    u = _containment_harness(spark, sf_dir)
+    pairs = containment_pairs(u, url_col="doc_id")
+    return pairs.select(
+        F.col("url_inner").cast("long").alias("doc_id_inner"),
+        F.col("url_outer").cast("long").alias("doc_id_outer"))
+
+
+def q_lcs_verify(spark, sf_dir):
+    """Suffix/rolling-hash LCS over the planted containment pairs; the
+    oracle closes the loop: LCS(inner, outer) == length(inner) exactly
+    when inner ⊆ outer."""
+    u = _containment_harness(spark, sf_dir)
+    pairs = u.filter(F.col("doc_id") >= SHIFT).select(
+        F.col("doc_id").alias("url_a"),
+        (F.col("doc_id") - SHIFT).alias("url_b"))
+    out = lcs_verify(pairs, u, url_col="doc_id")
+    return out.select(F.col("url_a").cast("long").alias("doc_id_inner"),
+                      F.col("url_b").cast("long").alias("doc_id_outer"),
+                      "lcs_len")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_sessions(spark, sf_dir):
+    return session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_events_hourly(spark, sf_dir):
+    return hourly_rollup(_events(spark, sf_dir))
+
+
+def q_events_dup_groups(spark, sf_dir):
+    return duplicate_events(_events(spark, sf_dir))
+
+
 # rows-only (no SQL oracle): engine-defined hashes / stubs
 
 def q_simhash_pairs(spark, sf_dir):
@@ -297,6 +354,17 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     return extract_features(with_payload(_docs(spark, sf_dir)))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN (hyperplane LSH prune + exact re-rank). Output is
+    engine-defined (approximate); recall vs brute force is pinned by
+    tests/test_operators_misc.py instead of a SQL oracle."""
+    emb = _emb(spark, sf_dir)
+    out = cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < ANN_NQ),
+                          k=ANN_K, n_planes=4, n_tables=12)
+    return out.select("query_id", "neighbor_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 # --- contract ---------------------------------------------------------------
@@ -329,8 +397,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "nation_order_revenue": q_nation_order_revenue,
         "region_nation_count": q_region_nation_count,
+        "substring_containment": q_substring_containment,
+        "lcs_verify": q_lcs_verify,
+        "events_sessions": q_events_sessions,
+        "events_hourly": q_events_hourly,
+        "events_dup_groups": q_events_dup_groups,
         "simhash_pairs": q_simhash_pairs,
         "multimodal_features": q_multimodal_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -578,5 +652,60 @@ def oracle_sql() -> dict[str, str]:
           SELECT r_name, count(*) AS n_nations
           FROM nation JOIN region ON n_regionkey = r_regionkey
           GROUP BY r_name
+        """,
+        "substring_containment": f"""
+          WITH base AS (SELECT doc_id, text FROM documents
+                        WHERE length(text) >= 250),
+          inn AS (SELECT doc_id + {SHIFT} AS doc_id,
+                         array_to_string((string_split(text, ' '))[5:34],
+                                         ' ') AS text
+                  FROM base WHERE doc_id % 5 = 0),
+          u AS (SELECT * FROM base UNION ALL SELECT * FROM inn)
+          SELECT a.doc_id AS doc_id_inner, b.doc_id AS doc_id_outer
+          FROM u a JOIN u b
+            ON a.doc_id <> b.doc_id
+           AND length(a.text) < length(b.text)
+           AND contains(b.text, a.text)
+        """,
+        "lcs_verify": f"""
+          SELECT doc_id + {SHIFT} AS doc_id_inner,
+                 doc_id AS doc_id_outer,
+                 length(array_to_string((string_split(text, ' '))[5:34],
+                                        ' '))::BIGINT AS lcs_len
+          FROM documents WHERE length(text) >= 250 AND doc_id % 5 = 0
+        """,
+        "events_sessions": """
+          WITH s AS (
+            SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                          OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                             > 30 * 60000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ), g AS (
+            SELECT user_id, ts_ms,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                     AS session_id
+            FROM s)
+          SELECT user_id, session_id, count(*) AS n_events,
+                 (max(ts_ms) - min(ts_ms))::BIGINT AS duration_ms
+          FROM g GROUP BY user_id, session_id
+        """,
+        "events_hourly": """
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*), 6) AS avg_value
+          FROM events GROUP BY 1, 2
+        """,
+        "events_dup_groups": """
+          SELECT user_id, event_type, value, count(*) AS n_dups,
+                 min(event_id) AS kept_event_id
+          FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1
         """,
     }

@@ -71,6 +71,49 @@ def cosine_pairs_above(vectors: DataFrame, threshold: float,
             .select("id_a", "id_b", "sim"))
 
 
+def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                    n_planes: int = 8, n_tables: int = 6, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int = 6) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH prune + exact
+    cosine re-rank within the candidate set. Same output schema as
+    ``cosine_topk``; recall < 1 by construction (tune n_tables up /
+    n_planes down for higher recall, at more candidates per query).
+
+    Scale shape: each table is an equi-join on the bucket key — the
+    corpus never cross-joins. The query side is tiny and broadcast; per
+    query the candidate set is Σ_t |bucket_t| ≪ N. Union-then-distinct
+    dedups candidates BEFORE the similarity kernel so each pair is
+    scored once.
+    """
+    pairs = None
+    for t in range(n_tables):
+        vb = hyperplane_buckets(vectors, n_planes, seed + 7919 * t,
+                                id_col, vec_col)
+        qb = hyperplane_buckets(queries, n_planes, seed + 7919 * t,
+                                id_col, vec_col) \
+            .withColumnRenamed("vec_id", "query_id")
+        m = vb.join(F.broadcast(qb), "bucket") \
+              .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        pairs = m if pairs is None else pairs.unionByName(m)
+    cand = (pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+            .distinct())
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    n = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"))
+    sim = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) *
+                                            _norm(F.col("nv")))
+    scored = (cand.join(n, "neighbor_id").join(F.broadcast(q), "query_id")
+              .withColumn("sim", F.round(sim, round_digits)))
+    w = F.row_number().over(
+        Window.partitionBy("query_id")
+              .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", w)
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))
+
+
 def hyperplane_buckets(vectors: DataFrame, n_planes: int = 12,
                        seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
@@ -81,9 +124,12 @@ def hyperplane_buckets(vectors: DataFrame, n_planes: int = 12,
     dim_idx = F.transform(F.col(vec_col), lambda x, i: i)
 
     def plane_component(p):
-        # deterministic pseudo-gaussian-ish weight per (plane, dim)
+        # deterministic symmetric uniform [-1,1] weight per (plane, dim);
+        # pmod, not %: Spark's % keeps the sign of xxhash64 and would
+        # bias every weight negative (⇒ all-zero sign bits, one bucket)
         return lambda x, i: (
-            (F.xxhash64(F.lit(seed), F.lit(p), i) % 100000) / 50000.0 - 1.0
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2000001))
+             - 1000000) / 1000000.0
         ) * x
 
     bits = []

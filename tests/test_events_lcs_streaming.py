@@ -1,0 +1,185 @@
+"""Tests for the events operators, the LCS verify pass, the streaming
+dedup module, and the LSH ANN scale path."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.operators.events import (duplicate_events,
+                                                     hourly_rollup,
+                                                     session_stats,
+                                                     sessionize)
+from duplicate_finder_spark.operators.lcs import lcs_len, lcs_verify
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(i, user, minutes, etype="click", value=1.0):
+    return Row(event_id=i, ts=T0 + dt.timedelta(minutes=minutes),
+               user_id=user, event_type=etype, value=value)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rows = [
+        # user 1: two sessions (gap 45 > 30 between idx 2 and 3)
+        _ev(0, 1, 0), _ev(1, 1, 10), _ev(2, 1, 20),
+        _ev(3, 1, 65), _ev(4, 1, 70),
+        # user 2: one session, duplicate values for dedup
+        _ev(5, 2, 0, "view", 7.5), _ev(6, 2, 5, "view", 7.5),
+        _ev(7, 2, 10, "error", 3.25),
+        # user 3: single event
+        _ev(8, 3, 0, "click", 2.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_sessionize_gap_splits(events_df):
+    s = sessionize(events_df, gap_minutes=30)
+    got = {(r.event_id, r.session_id)
+           for r in s.select("event_id", "session_id").collect()}
+    assert got == {(0, 1), (1, 1), (2, 1), (3, 2), (4, 2),
+                   (5, 1), (6, 1), (7, 1), (8, 1)}
+
+
+def test_session_stats(events_df):
+    st = {(r.user_id, r.session_id): (r.n_events, r.duration_ms)
+          for r in session_stats(events_df, gap_minutes=30).collect()}
+    assert st[(1, 1)] == (3, 20 * 60_000)
+    assert st[(1, 2)] == (2, 5 * 60_000)
+    assert st[(2, 1)] == (3, 10 * 60_000)
+    assert st[(3, 1)] == (1, 0)
+
+
+def test_hourly_rollup(events_df):
+    r = {(row.hour, row.event_type): (row.n_events, row.sum_value)
+         for row in hourly_rollup(events_df).collect()}
+    assert r[(T0, "click")] == (4, 5.0)        # events 0,1,2,8 in hour 0
+    assert r[(T0, "view")] == (2, 15.0)
+    assert r[(T0 + dt.timedelta(hours=1), "click")] == (2, 2.0)
+
+
+def test_duplicate_events_keep_first(events_df):
+    d = {(r.user_id, r.event_type, r.value): (r.n_dups, r.kept_event_id)
+         for r in duplicate_events(events_df).collect()}
+    assert d == {(1, "click", 1.0): (5, 0),
+                 (2, "view", 7.5): (2, 5)}
+
+
+# --- LCS ---------------------------------------------------------------------
+
+def _brute_lcs(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(i + best + 1, len(a) + 1):
+            if a[i:j] in b:
+                best = j - i
+            else:
+                break
+    return best
+
+
+def test_lcs_len_matches_bruteforce():
+    rng = random.Random(7)
+    for _ in range(120):
+        a = "".join(rng.choice("abc ") for _ in range(rng.randint(0, 50)))
+        b = "".join(rng.choice("abc ") for _ in range(rng.randint(0, 50)))
+        assert lcs_len(a, b) == _brute_lcs(a, b), (a, b)
+
+
+def test_lcs_len_unicode_and_containment():
+    assert lcs_len("héllo wörld", "xx wörld yy") == len(" wörld")
+    inner = "ünïcode běta " * 20
+    outer = "pre " + inner + " post"
+    assert lcs_len(inner, outer) == len(inner)
+
+
+def test_lcs_verify_distributed(spark):
+    docs = spark.createDataFrame([
+        Row(url="a", text="the quick brown fox jumps over the lazy dog"),
+        Row(url="b", text="xx quick brown fox jumps yy"),
+        Row(url="c", text="entirely different words here"),
+    ])
+    pairs = spark.createDataFrame([Row(url_a="a", url_b="b"),
+                                   Row(url_a="a", url_b="c")])
+    got = {(r.url_a, r.url_b): r.lcs_len
+           for r in lcs_verify(pairs, docs).collect()}
+    assert got[("a", "b")] == len(" quick brown fox jumps ")
+    assert got[("a", "c")] == _brute_lcs(
+        "the quick brown fox jumps over the lazy dog",
+        "entirely different words here")
+
+
+# --- streaming ---------------------------------------------------------------
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from duplicate_finder_spark.streaming.dedup import (read_pages_stream,
+                                                        run_stream_to_memory,
+                                                        streaming_exact_dedup)
+    rows1 = [Row(url="u1", warc_ts=T0, text="alpha"),
+             Row(url="u2", warc_ts=T0 + dt.timedelta(minutes=1),
+                 text="beta"),
+             Row(url="u3", warc_ts=T0 + dt.timedelta(minutes=2),
+                 text="alpha")]          # dup of u1, same batch
+    rows2 = [Row(url="u4", warc_ts=T0 + dt.timedelta(minutes=3),
+                 text="beta"),           # dup of u2, later batch
+             Row(url="u5", warc_ts=T0 + dt.timedelta(minutes=4),
+                 text="gamma")]
+    src = str(tmp_path / "pages")
+    df1 = spark.createDataFrame(rows1)
+    df1.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append") \
+         .parquet(src)
+
+    stream = read_pages_stream(spark, src, df1.schema)
+    dedup = streaming_exact_dedup(stream, watermark="10 minutes")
+    run_stream_to_memory(dedup, "dedup_out")
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["alpha", "beta", "gamma"]
+    # exactly one survivor per content hash
+    assert len({r.content_hash for r in out}) == len(out) == 3
+
+
+def test_streaming_dup_counts(spark, tmp_path):
+    from duplicate_finder_spark.streaming.dedup import (read_pages_stream,
+                                                        run_stream_to_memory,
+                                                        streaming_dup_counts)
+    rows = [Row(url=f"u{i}", warc_ts=T0 + dt.timedelta(minutes=i),
+                text="same" if i % 2 == 0 else f"uniq{i}")
+            for i in range(6)]
+    src = str(tmp_path / "pages2")
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.parquet(src)
+    stream = read_pages_stream(spark, src, df.schema)
+    counts = streaming_dup_counts(stream, watermark="1 minute",
+                                  window="1 hour")
+    run_stream_to_memory(counts, "dup_counts", output_mode="complete")
+    out = spark.sql("SELECT * FROM dup_counts").collect()
+    by_copies = sorted(r.n_copies for r in out)
+    assert by_copies == [1, 1, 1, 3]
+
+
+# --- ANN LSH scale path ------------------------------------------------------
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from duplicate_finder_spark.operators.ann import (cosine_topk,
+                                                      cosine_topk_lsh)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    k = 5
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=k).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk_lsh(emb, q, k=k, n_planes=4,
+                                       n_tables=12).collect()}
+    recall = len(exact & approx) / len(exact)
+    # sign-LSH s-curve at these neighbors' cosine (~0.3, p≈0.6/plane):
+    # expected hit prob 1-(1-0.6^4)^12 ≈ 0.81 — the corpus' neighbors are
+    # weak by construction; real embedding clusters sit far higher
+    assert recall >= 0.75, f"LSH ANN recall {recall:.2f} too low"
