@@ -133,10 +133,13 @@ def q_fingerprint_dups(spark, sf_dir):
         F.concat(F.upper("text"), F.lit("  ")).alias("text"))
     u = base.unionByName(noisy).withColumn(
         "fingerprint", normalized_fingerprint("text"))
-    multi = (u.groupBy("fingerprint").count()
-              .filter(F.col("count") > 1).select("fingerprint"))
-    return u.join(F.broadcast(multi), "fingerprint", "left_semi") \
-        .select("fingerprint", "doc_id")
+    # single shuffle: window count over the fingerprint partitioning
+    # (broadcasting the colliding-fingerprint set would not scale)
+    w = Window.partitionBy("fingerprint")
+    return (u.select("fingerprint", "doc_id")
+            .withColumn("_cnt", F.count("*").over(w))
+            .filter(F.col("_cnt") > 1)
+            .select("fingerprint", "doc_id"))
 
 
 def q_token_stats(spark, sf_dir):
@@ -183,16 +186,25 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                         F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """Approximate path whose output must equal the exact n-gram query —
-    same shingle config, LSH candidates + exact verify."""
+def _verified_near_dup_pairs(spark, sf_dir):
+    """Shared MinHash→LSH→verify chain. Signatures are persisted: the
+    Arrow-UDF subtree feeds three consumers (banding + both verify
+    sides) and would otherwise be recomputed per branch — at scale this
+    materialization is the warehouse signature checkpoint
+    (pipeline.run_resumable); in-session, MEMORY_AND_DISK persist."""
     cfg = PipelineConfig(num_perm=128, lsh_bands=32,
                          jaccard_threshold=JACCARD_T)
     docs = _docs(spark, sf_dir).select(
         F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
-    sigs = signatures(docs, cfg)
-    verified = verify_pairs(candidate_pairs(sigs, cfg), sigs,
-                            cfg.jaccard_threshold)
+    sigs = signatures(docs, cfg).persist()
+    return verify_pairs(candidate_pairs(sigs, cfg), sigs,
+                        cfg.jaccard_threshold)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Approximate path whose output must equal the exact n-gram query —
+    same shingle config, LSH candidates + exact verify."""
+    verified = _verified_near_dup_pairs(spark, sf_dir)
     return verified.select(
         F.col("url_a").cast("long").alias("doc_id_a"),
         F.col("url_b").cast("long").alias("doc_id_b"),
@@ -205,13 +217,7 @@ def q_cc_clusters(spark, sf_dir):
     holds because verify keeps exactly the pairs with true Jaccard ≥ T
     and the LSH s-curve at (32 bands × 4 rows) has ~1-5e-8 miss mass
     at T=0.8."""
-    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
-                         jaccard_threshold=JACCARD_T)
-    docs = _docs(spark, sf_dir).select(
-        F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
-    sigs = signatures(docs, cfg)
-    verified = verify_pairs(candidate_pairs(sigs, cfg), sigs,
-                            cfg.jaccard_threshold)
+    verified = _verified_near_dup_pairs(spark, sf_dir)
     edges = verified.select(F.col("url_a").alias("src"),
                             F.col("url_b").alias("dst"))
     assign = connected_components(edges)

@@ -66,13 +66,20 @@ def size_prefilter(df: DataFrame, size_col: str = SIZE_COL) -> DataFrame:
 
 def hash_prefilter(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Optional second-level reduction: xxhash64 group HAVING>1 before the
-    expensive SHA-256. Same trick as A2 one level deeper; pays off when
-    the size prefilter leaves a large survivor set (common on web text
-    where lengths collide)."""
+    expensive SHA-256. Same trick as A2 one level deeper.
+
+    NOT in the default path: unlike the size domain (bounded, broadcast-
+    able), the colliding-xxhash set grows with the dup fraction of the
+    corpus — billions of keys at 10^12 docs — so the semi-join is left
+    to AQE (shuffle join at scale, broadcast when the runtime stats say
+    it fits). Only worth it when SHA-256 compute, not scan I/O, is the
+    bottleneck; ``exact_clusters`` instead hashes size-survivors directly
+    and never shuffles text at all.
+    """
     with_h = df.withColumn("_xx", content_xxhash64(text_col))
     multi = (with_h.groupBy("_xx").count()
                    .filter(F.col("count") > 1).select("_xx"))
-    return with_h.join(F.broadcast(multi), "_xx", "left_semi").drop("_xx")
+    return with_h.join(multi, "_xx", "left_semi").drop("_xx")
 
 
 def exact_clusters(pages: DataFrame, cfg: PipelineConfig,
@@ -86,22 +93,29 @@ def exact_clusters(pages: DataFrame, cfg: PipelineConfig,
     """
     df = apply_filters(pages, cfg, url_col, text_col)
     df = size_prefilter(df)
-    df = hash_prefilter(df, text_col)
     df = df.withColumn("content_hash", content_sha256(text_col))
-    group_key = ["content_hash", SIZE_COL] if paranoid else ["content_hash"]
+    # project narrow BEFORE the shuffle: text never leaves the scan stage
+    # — the one shuffle of this pipeline carries (url, size, hash) only
+    df = df.select(url_col, SIZE_COL, "content_hash")
+    part_key = ["content_hash", SIZE_COL] if paranoid else ["content_hash"]
 
-    counts = (df.groupBy(*group_key).count()
-                .filter(F.col("count") > 1).drop("count"))
-    dups = df.join(F.broadcast(counts), group_key, "left_semi")
+    # one exchange does everything: rank and HAVING-count>1 are two
+    # Window nodes over the SAME partitioning, so Catalyst plans a single
+    # hash-partition shuffle and no join. (The old shape — groupBy +
+    # semi-join back — either broadcasts the colliding-hash set, which
+    # does not fit at 10^12 docs, or shuffles the big side twice.)
+    w = Window.partitionBy(*part_key)
+    w_rank = w.orderBy(url_col)
 
     # cluster_id IS the content hash: stable, shuffle-free, no global
     # ordering. (A dense integer enumeration would need a single-partition
     # Window.orderBy — a non-starter at 100 TB; the "Group i/N" labels the
     # reference prints (:267) are produced at the tiny report tail by
     # ``enumerate_clusters`` instead.)
-    w_rank = Window.partitionBy("content_hash").orderBy(url_col)
-    return (dups
+    return (df
             .withColumn("rank", F.row_number().over(w_rank))
+            .withColumn("_cnt", F.count("*").over(w))
+            .filter(F.col("_cnt") > 1).drop("_cnt")
             .withColumn("cluster_id", F.col("content_hash"))
             .select("cluster_id", "content_hash", url_col, SIZE_COL, "rank"))
 

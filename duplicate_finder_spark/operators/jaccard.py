@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from duplicate_finder_spark.functions.text import word_shingles
+from duplicate_finder_spark.operators.minhash import shingle_sets
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
@@ -28,12 +28,14 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         max_doc_freq: int | None = None) -> DataFrame:
     """→ (id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
 
-    NOTE: uses the expression-level ``word_shingles`` (fine for short
-    docs); pipe long docs through operators/minhash.py instead.
+    Shingles are 64-bit hashes from the linear Arrow UDF
+    (operators/minhash.py::shingle_sets); set Jaccard over the hashes
+    equals Jaccard over the shingle strings up to ~2^-64 collision mass,
+    so DuckDB string-shingle oracles still match value-for-value.
     """
-    sh = docs.select(F.col(id_col).alias("id"),
-                     F.explode(word_shingles(text_col, k)).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    arr = shingle_sets(docs, k, id_col, text_col)
+    sh = arr.select("id", F.explode("sh").alias("s"))
+    sizes = arr.select("id", F.col("n"))
     if max_doc_freq is not None:
         rare = (sh.groupBy("s").count()
                   .filter(F.col("count") <= max_doc_freq).select("s"))

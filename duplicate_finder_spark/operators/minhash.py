@@ -100,6 +100,37 @@ def make_signature_udf(k: int, num_perm: int, seed: int):
     return signature
 
 
+def make_shingles_udf(k: int):
+    """Arrow UDF: array<long> token hashes → array<long> distinct shingle
+    hashes. Linear per row (numpy) — use instead of the O(n_tokens²)
+    expression-level functions/text.py::word_shingles on anything but
+    short rows."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def shingles(tok_hashes: pd.Series) -> pd.Series:
+        out = []
+        for row in tok_hashes:
+            if row is None or len(row) == 0:
+                out.append(None)
+                continue
+            toks = np.asarray(row, dtype=np.int64).view(np.uint64)
+            out.append(shingle_hashes_np(toks, k).view(np.int64))
+        return pd.Series(out)
+
+    return shingles
+
+
+def shingle_sets(docs: DataFrame, k: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """→ (id, sh: array<long>, n) distinct hashed word-k-shingles per doc
+    (docs with zero tokens excluded)."""
+    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    sh = make_shingles_udf(k)
+    return (docs.select(F.col(id_col).alias("id"), tok_hashes.alias("_th"))
+            .filter(F.size("_th") > 0)
+            .select("id", sh("_th").alias("sh"))
+            .withColumn("n", F.size("sh")))
+
+
 def signatures(pages: DataFrame, cfg: PipelineConfig,
                url_col: str = "url", text_col: str = "text") -> DataFrame:
     """→ (url, n_shingles, shingles: array<long>, minhash: array<long>).
