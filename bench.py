@@ -42,17 +42,28 @@ def main() -> None:
                       shuffle_partitions=int(cpus))
     qs = entrymod.queries()
 
-    # warm the JVM/Arrow paths once on a trivial action
-    spark.range(1000).count()
+    # warm the JVM and the Python-UDF worker pool (one daemon per core —
+    # first pandas UDF otherwise pays ~NCPU × (spawn + import pandas))
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(100000).repartition(int(cpus)) \
+        .select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        # count() forces full execution; results are small aggregates
-        qs[name](spark, sf_dir).count()
+        # noop sink forces FULL evaluation of every output column —
+        # count() would let Catalyst prune unreferenced UDF columns and
+        # under-report scan+compute cost
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries are self-contained: drop any cache a query persisted so
+        # the next one is measured cold, not against a shrinking heap
+        spark.catalog.clearCache()
 
     dedup_secs = (timings["exact_dup_decisions"]
                   + timings["minhash_lsh_pairs"] + timings["cc_clusters"])

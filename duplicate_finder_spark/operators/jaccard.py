@@ -34,20 +34,25 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     so DuckDB string-shingle oracles still match value-for-value.
     """
     arr = shingle_sets(docs, k, id_col, text_col)
-    sh = arr.select("id", F.explode("sh").alias("s"))
-    sizes = arr.select("id", F.col("n"))
+    # carry the set size through the explode: the shingle pass (scan +
+    # Arrow UDF) then runs ONCE, and the per-pair Jaccard needs no joins
+    # back to a sizes table — |set| rides along as a constant per id.
+    # The duplicated 8-byte column in the shuffle is far cheaper than a
+    # second full pass over the corpus + two extra shuffles at 100 TB.
+    sh = arr.select("id", "n", F.explode("sh").alias("s"))
     if max_doc_freq is not None:
+        # df-cut BEFORE the self-join: boilerplate shingles (shared by
+        # more than max_doc_freq docs) never reach the shuffle
         rare = (sh.groupBy("s").count()
                   .filter(F.col("count") <= max_doc_freq).select("s"))
         sh = sh.join(rare, "s", "left_semi")
-    a = sh.select(F.col("id").alias("id_a"), "s")
-    b = sh.select(F.col("id").alias("id_b"), "s")
+    a = sh.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")
     inter = (a.join(b, "s")
              .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("c")))
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (inter.join(na, "id_a").join(nb, "id_b")
+             .groupBy("id_a", "id_b", "na", "nb")
+             .agg(F.count("*").alias("c")))
+    return (inter
             .withColumn("jaccard",
                         F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
             .filter(F.col("jaccard") >= threshold)

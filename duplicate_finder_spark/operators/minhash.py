@@ -30,6 +30,7 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from duplicate_finder_spark.config import PipelineConfig
 from duplicate_finder_spark.functions.text import tokens
+from duplicate_finder_spark.partitioning import fan_out
 
 # fixed odd mixing constants for combining consecutive token hashes into a
 # shingle hash (position-dependent so "a b" != "b a")
@@ -74,6 +75,38 @@ def shingle_hashes_np(tok_hashes: np.ndarray, k: int) -> np.ndarray:
     return np.unique(acc)
 
 
+# shingle-count budget per vectorized minhash block: bounds the
+# (num_perm × total_shingles) uint64 scratch matrix to num_perm × 64Ki × 8B
+# (64 MiB at 128 perms) regardless of Arrow batch size
+_BLOCK_SHINGLES = 65536
+
+
+def _minhash_block(sh_arrays: list[np.ndarray], a: np.ndarray,
+                   b: np.ndarray) -> list[np.ndarray]:
+    """Min-hash many shingle sets in few large numpy ops.
+
+    Per-row 128×n matrix allocs dominate a naive loop (~1 ms/doc); here
+    rows are packed into ≤``_BLOCK_SHINGLES``-wide blocks and reduced with
+    one ``minimum.reduceat`` per block — the whole Arrow batch runs at
+    numpy speed.
+    """
+    out: list[np.ndarray] = []
+    i, n = 0, len(sh_arrays)
+    while i < n:
+        j, tot = i, 0
+        while j < n and (tot == 0 or tot + len(sh_arrays[j])
+                         <= _BLOCK_SHINGLES):
+            tot += len(sh_arrays[j])
+            j += 1
+        concat = np.concatenate(sh_arrays[i:j])
+        mixed = a[:, None] * concat[None, :] + b[:, None]
+        bounds = np.cumsum([0] + [len(s) for s in sh_arrays[i:j]])[:-1]
+        mins = np.minimum.reduceat(mixed, bounds, axis=1)
+        out.extend(np.ascontiguousarray(mins[:, c]) for c in range(j - i))
+        i = j
+    return out
+
+
 def make_signature_udf(k: int, num_perm: int, seed: int):
     """Arrow UDF: array<long> token hashes → struct(shingles, minhash)."""
     a, b = _perm_params(num_perm, seed)
@@ -84,17 +117,22 @@ def make_signature_udf(k: int, num_perm: int, seed: int):
 
     @F.pandas_udf(out_type)
     def signature(tok_hashes: pd.Series) -> pd.DataFrame:
-        sh_out, mh_out = [], []
-        for row in tok_hashes:
+        sh_out: list = []
+        valid: list[np.ndarray] = []
+        valid_pos: list[int] = []
+        for i, row in enumerate(tok_hashes):
             if row is None or len(row) == 0:
                 sh_out.append(None)
-                mh_out.append(None)
                 continue
             toks = np.asarray(row, dtype=np.int64).view(np.uint64)
             sh = shingle_hashes_np(toks, k)
-            mixed = a[:, None] * sh[None, :] + b[:, None]
             sh_out.append(sh.view(np.int64))
-            mh_out.append(mixed.min(axis=1).view(np.int64))
+            valid.append(sh)
+            valid_pos.append(i)
+        mh_out: list = [None] * len(sh_out)
+        if valid:
+            for pos, mins in zip(valid_pos, _minhash_block(valid, a, b)):
+                mh_out[pos] = mins.view(np.int64)
         return pd.DataFrame({"shingles": sh_out, "minhash": mh_out})
 
     return signature
@@ -125,7 +163,8 @@ def shingle_sets(docs: DataFrame, k: int, id_col: str = "doc_id",
     (docs with zero tokens excluded)."""
     tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     sh = make_shingles_udf(k)
-    return (docs.select(F.col(id_col).alias("id"), tok_hashes.alias("_th"))
+    return (fan_out(docs)
+            .select(F.col(id_col).alias("id"), tok_hashes.alias("_th"))
             .filter(F.size("_th") > 0)
             .select("id", sh("_th").alias("sh"))
             .withColumn("n", F.size("sh")))
@@ -140,7 +179,7 @@ def signatures(pages: DataFrame, cfg: PipelineConfig,
     """
     tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     sig = make_signature_udf(cfg.shingle_size, cfg.num_perm, cfg.seed)
-    return (pages
+    return (fan_out(pages)
             .select(F.col(url_col).alias("url"),
                     tok_hashes.alias("_th"))
             .filter(F.size("_th") > 0)
