@@ -27,6 +27,10 @@ from duplicate_finder_spark.functions.text import (punct_ratio,
                                                    quality_score,
                                                    token_count, tokens)
 from duplicate_finder_spark.operators import exact as ex
+from duplicate_finder_spark.operators import decisions as dec
+from duplicate_finder_spark.operators.setops import vocab_overlap
+from duplicate_finder_spark.operators.events import (event_gaps,
+                                                     rollup_by_type_hour)
 from duplicate_finder_spark.operators.ann import (cosine_pairs_above,
                                                   cosine_topk,
                                                   cosine_topk_lsh)
@@ -140,6 +144,49 @@ def q_fingerprint_dups(spark, sf_dir):
             .withColumn("_cnt", F.count("*").over(w))
             .filter(F.col("_cnt") > 1)
             .select("fingerprint", "doc_id"))
+
+
+def q_dedup_apply(spark, sf_dir):
+    """K4 applied: survivors of the destructive delete (anti-join rewrite
+    of MERGE…DELETE) over the self-union — exactly one member per
+    content, keep-first by doc_id."""
+    u = _self_union(_docs(spark, sf_dir))
+    cl = _exact_clusters_docs(spark, sf_dir)
+    d = dec.decide(cl)
+    survivors = dec.apply_delete(u, d, delete_duplicates=True,
+                                 dry_run=False, assume_yes=True,
+                                 url_col="doc_id")
+    return survivors.select("doc_id")
+
+
+def q_decision_summary(spark, sf_dir):
+    """A5 totals: docs + bytes per action over the exact-dup decisions."""
+    cl = _exact_clusters_docs(spark, sf_dir)
+    return dec.decision_summary(dec.decide(cl)) \
+        .select("action", "n_docs", F.col("total_bytes").cast("long")
+                .alias("total_bytes"))
+
+
+def q_vocab_setops(spark, sf_dir):
+    """§2.7 set operations: src1∩src2 and src1∖src2 token vocabularies."""
+    return vocab_overlap(_docs(spark, sf_dir), "src1", "src2")
+
+
+def q_lang_vocab_stats(spark, sf_dir):
+    """Distinct aggregate: vocabulary size + token volume per language."""
+    d = _docs(spark, sf_dir)
+    return (d.select("lang", F.explode(tokens("text")).alias("token"))
+            .groupBy("lang")
+            .agg(F.countDistinct("token").alias("vocab_size"),
+                 F.count("*").alias("n_tokens")))
+
+
+def q_events_rollup(spark, sf_dir):
+    return rollup_by_type_hour(_events(spark, sf_dir))
+
+
+def q_events_gaps(spark, sf_dir):
+    return event_gaps(_events(spark, sf_dir))
 
 
 def q_token_stats(spark, sf_dir):
@@ -385,6 +432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "exact_dup_decisions": q_exact_dup_decisions,
         "dup_group_stats": q_dup_group_stats,
+        "dedup_apply": q_dedup_apply,
+        "decision_summary": q_decision_summary,
+        "vocab_setops": q_vocab_setops,
+        "lang_vocab_stats": q_lang_vocab_stats,
+        "events_rollup": q_events_rollup,
+        "events_gaps": q_events_gaps,
         "size_prefilter": q_size_prefilter,
         "filter_size_range": q_filter_size_range,
         "filter_glob": q_filter_glob,
@@ -520,6 +573,66 @@ def oracle_sql() -> dict[str, str]:
                  (total_bytes - doc_size)::BIGINT AS reclaimable_bytes,
                  (group_size * (group_size - 1) // 2)::BIGINT AS n_comparisons
           FROM g
+        """,
+        "dedup_apply": f"""
+          WITH u AS ({_UNION})
+          SELECT doc_id FROM u
+          QUALIFY row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) = 1
+        """,
+        "decision_summary": f"""
+          WITH u AS ({_UNION}),
+          h AS (SELECT doc_id, length(text) AS sz,
+                       sha256(text) AS ch FROM u),
+          d AS (SELECT *, count(*) OVER (PARTITION BY ch) AS cnt,
+                       row_number() OVER (PARTITION BY ch
+                                          ORDER BY doc_id) AS rn
+                FROM h)
+          SELECT CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action,
+                 count(*) AS n_docs, sum(sz)::BIGINT AS total_bytes
+          FROM d WHERE cnt > 1 GROUP BY 1
+        """,
+        "vocab_setops": r"""
+          WITH va AS (SELECT DISTINCT unnest(regexp_split_to_array(
+                        trim(text), '\s+')) AS token
+                      FROM documents
+                      WHERE source = 'src1' AND trim(text) <> ''),
+          vb AS (SELECT DISTINCT unnest(regexp_split_to_array(
+                   trim(text), '\s+')) AS token
+                 FROM documents
+                 WHERE source = 'src2' AND trim(text) <> '')
+          SELECT 'intersect' AS op, token
+          FROM (SELECT token FROM va INTERSECT SELECT token FROM vb)
+          UNION ALL
+          SELECT 'except_a' AS op, token
+          FROM (SELECT token FROM va EXCEPT SELECT token FROM vb)
+        """,
+        "lang_vocab_stats": r"""
+          WITH t AS (SELECT lang, unnest(regexp_split_to_array(
+                       trim(text), '\s+')) AS token
+                     FROM documents WHERE trim(text) <> '')
+          SELECT lang, count(DISTINCT token) AS vocab_size,
+                 count(*) AS n_tokens
+          FROM t GROUP BY lang
+        """,
+        "events_rollup": """
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 grouping(event_type)::BIGINT AS lvl_type,
+                 grouping(date_trunc('hour', ts))::BIGINT AS lvl_hour,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+          FROM events
+          GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+        """,
+        "events_gaps": """
+          WITH g AS (
+            SELECT user_id, event_id,
+                   epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+            FROM events)
+          SELECT user_id, event_id, gap_ms FROM g
+          WHERE gap_ms IS NOT NULL
         """,
         "size_prefilter": """
           SELECT doc_id, length(text)::BIGINT AS size FROM documents

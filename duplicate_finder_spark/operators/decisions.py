@@ -62,15 +62,19 @@ def decision_summary(decisions: DataFrame) -> DataFrame:
 
 def apply_delete(pages: DataFrame, decisions: DataFrame,
                  delete_duplicates: bool, dry_run: bool,
-                 assume_yes: bool) -> DataFrame:
+                 assume_yes: bool, url_col: str = "url") -> DataFrame:
     """K4: destructive rewrite — survivors only. Gated three ways
     (delete flag, dry-run default ON, explicit yes ≙ D3 gate).
 
     Returns the surviving pages DataFrame; caller owns the write. With an
     Iceberg catalog this becomes ``MERGE INTO pages USING to_delete ON
     url WHEN MATCHED THEN DELETE`` at the same call site.
+
+    Scale note: the anti-join's delete side is deletes-only — typically
+    a small fraction of the corpus — so AQE downgrades it to a broadcast
+    anti-join when it fits; the full table never shuffles in that case.
     """
     if not delete_duplicates or dry_run or not assume_yes:
         return pages  # decisions table is the only output (dry-run parity)
-    to_delete = decisions.filter(F.col("action") == "delete").select("url")
-    return pages.join(to_delete, "url", "left_anti")
+    to_delete = decisions.filter(F.col("action") == "delete").select(url_col)
+    return pages.join(to_delete, url_col, "left_anti")

@@ -85,6 +85,48 @@ def hourly_rollup(events: DataFrame, ts_col: str = "ts",
                   .alias("avg_value")))
 
 
+def rollup_by_type_hour(events: DataFrame, ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        value_col: str = "value") -> DataFrame:
+    """GROUP BY ROLLUP (event_type, hour): per-(type,hour) rows plus
+    per-type subtotals plus the grand total, one aggregation pass.
+
+    → (event_type, hour, lvl_type, lvl_hour, n_events, sum_value) where
+    lvl_* are the GROUPING() flags (1 = rolled up / NULL-means-total).
+    Spark computes rollups as a single expand+aggregate — no second scan
+    for the subtotal rows, which is the point at 100 TB.
+    """
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"))
+    return (base
+            .rollup("event_type", "hour")
+            .agg(F.grouping("event_type").cast("long").alias("lvl_type"),
+                 F.grouping("hour").cast("long").alias("lvl_hour"),
+                 F.count("*").alias("n_events"),
+                 F.sum("_v").cast("double").alias("sum_value"))
+            .select("event_type", "hour", "lvl_type", "lvl_hour",
+                    "n_events", "sum_value"))
+
+
+def event_gaps(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Per-user inter-event gap via lag: → (user_id, event_id, gap_ms)
+    for every event with a predecessor (first event per user excluded —
+    its gap is undefined, and NULL semantics differ across engines).
+
+    One shuffle on user_id; deterministic ordering (ts, event_id)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    epoch = F.lit("1970-01-01 00:00:00").cast(
+        events.schema[ts_col].dataType.simpleString())
+    ms = F.timestamp_diff("MILLISECOND", epoch, F.col(ts_col))
+    prev = F.lag(ms).over(w)
+    return (events
+            .select(user_col, id_col, (ms - prev).alias("gap_ms"))
+            .filter(F.col("gap_ms").isNotNull()))
+
+
 def duplicate_events(events: DataFrame,
                      key_cols: tuple[str, ...] = ("user_id", "event_type",
                                                   "value"),

@@ -183,3 +183,59 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     # expected hit prob 1-(1-0.6^4)^12 ≈ 0.81 — the corpus' neighbors are
     # weak by construction; real embedding clusters sit far higher
     assert recall >= 0.75, f"LSH ANN recall {recall:.2f} too low"
+
+
+# --- stateful streaming sessionization ---------------------------------------
+
+def test_streaming_session_stats_incremental(spark, tmp_path):
+    """Two micro-batches; state carries the open session across the
+    boundary. Final upserts must equal the batch session_stats result."""
+    from duplicate_finder_spark.streaming.dedup import run_stream_to_memory
+    from duplicate_finder_spark.streaming.stateful import (
+        streaming_session_stats)
+
+    rows1 = [_ev(0, 1, 0), _ev(1, 1, 10),
+             _ev(5, 2, 0, "view", 7.5)]
+    rows2 = [_ev(2, 1, 20),              # continues user 1 session 1
+             _ev(3, 1, 65), _ev(4, 1, 70),  # new session (gap 45 > 30)
+             _ev(6, 2, 5, "view", 7.5), _ev(7, 2, 10, "error", 3.25)]
+    src = str(tmp_path / "events_stream")
+    df1 = spark.createDataFrame(rows1)
+    df1.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append") \
+         .parquet(src)
+
+    stream = (spark.readStream.schema(df1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sess = streaming_session_stats(stream, gap_minutes=30)
+    run_stream_to_memory(sess, "sess_out", output_mode="update")
+    out = spark.sql("SELECT * FROM sess_out").collect()
+
+    # update mode re-emits touched sessions; the LAST upsert per
+    # (user, session) is the session's final state
+    final = {}
+    for r in out:
+        final[(r.user_id, r.session_id)] = (r.n_events, r.duration_ms)
+
+    batch = spark.createDataFrame(rows1 + rows2)
+    expected = {(r.user_id, r.session_id): (r.n_events, r.duration_ms)
+                for r in session_stats(batch, gap_minutes=30).collect()}
+    assert final == expected
+
+
+def test_streaming_sessions_single_batch_matches_batch(spark, tmp_path):
+    from duplicate_finder_spark.streaming.dedup import run_stream_to_memory
+    from duplicate_finder_spark.streaming.stateful import (
+        streaming_session_stats)
+    rows = [_ev(i, 7, i * 40) for i in range(4)]  # every gap 40 > 30
+    src = str(tmp_path / "events_stream2")
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    run_stream_to_memory(streaming_session_stats(stream, gap_minutes=30),
+                         "sess_out2", output_mode="update")
+    out = spark.sql("SELECT * FROM sess_out2").collect()
+    got = {(r.user_id, r.session_id): (r.n_events, r.duration_ms)
+           for r in out}
+    assert got == {(7, 1): (1, 0), (7, 2): (1, 0),
+                   (7, 3): (1, 0), (7, 4): (1, 0)}

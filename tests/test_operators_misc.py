@@ -163,3 +163,72 @@ def test_benchgen_deterministic_and_planted(spark):
     n_exact_groups = (a.groupBy(F.sha2(F.encode("text", "utf-8"), 256))
                       .count().filter("count > 1").count())
     assert n_exact_groups >= 50  # ~15% of 2000 in groups of 4
+
+
+# --- set ops, rollup, gaps, delete-apply --------------------------------------
+
+def test_vocab_overlap_setops(spark):
+    from pyspark.sql import Row
+    from duplicate_finder_spark.operators.setops import vocab_overlap
+    docs = spark.createDataFrame([
+        Row(doc_id=1, source="a", text="the cat sat"),
+        Row(doc_id=2, source="a", text="the dog ran"),
+        Row(doc_id=3, source="b", text="the cat flew"),
+    ])
+    got = {(r.op, r.token) for r in
+           vocab_overlap(docs, "a", "b").collect()}
+    assert got == {("intersect", "the"), ("intersect", "cat"),
+                   ("except_a", "sat"), ("except_a", "dog"),
+                   ("except_a", "ran")}
+
+
+def test_rollup_levels_sum_consistently(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from duplicate_finder_spark.operators.events import rollup_by_type_hour
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [Row(event_id=i, ts=t0 + dt.timedelta(minutes=40 * i),
+                event_type="click" if i % 2 == 0 else "view",
+                value=float(i))
+            for i in range(6)]
+    out = rollup_by_type_hour(spark.createDataFrame(rows)).collect()
+    grand = [r for r in out if r.lvl_type == 1 and r.lvl_hour == 1]
+    per_type = [r for r in out if r.lvl_type == 0 and r.lvl_hour == 1]
+    leaves = [r for r in out if r.lvl_type == 0 and r.lvl_hour == 0]
+    assert len(grand) == 1 and grand[0].n_events == 6
+    assert grand[0].sum_value == sum(float(i) for i in range(6))
+    assert sum(r.n_events for r in per_type) == 6
+    assert sum(r.n_events for r in leaves) == 6
+    assert {r.event_type for r in per_type} == {"click", "view"}
+
+
+def test_event_gaps_lag(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from duplicate_finder_spark.operators.events import event_gaps
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(event_id=i, ts=t0 + dt.timedelta(minutes=m), user_id=u)
+            for i, (u, m) in enumerate([(1, 0), (1, 5), (1, 45),
+                                        (2, 0)])]
+    got = {(r.user_id, r.event_id): r.gap_ms
+           for r in event_gaps(spark.createDataFrame(rows)).collect()}
+    # first event per user excluded; gaps in ms
+    assert got == {(1, 1): 5 * 60_000, (1, 2): 40 * 60_000}
+
+
+def test_apply_delete_anti_join(spark):
+    from pyspark.sql import Row
+    from duplicate_finder_spark.config import PipelineConfig
+    from duplicate_finder_spark.operators import decisions as dec
+    from duplicate_finder_spark.operators.exact import exact_clusters
+    pages = spark.createDataFrame([
+        Row(url="a", text="same"), Row(url="b", text="same"),
+        Row(url="c", text="unique")])
+    cl = exact_clusters(pages, PipelineConfig())
+    d = dec.decide(cl)
+    # all three gates must be open for the rewrite to happen
+    assert dec.apply_delete(pages, d, True, True, True).count() == 3
+    assert dec.apply_delete(pages, d, False, False, True).count() == 3
+    assert dec.apply_delete(pages, d, True, False, False).count() == 3
+    survivors = dec.apply_delete(pages, d, True, False, True)
+    assert sorted(r.url for r in survivors.collect()) == ["a", "c"]
