@@ -33,6 +33,7 @@ from duplicate_finder_spark.operators.events import (event_gaps,
                                                      rollup_by_type_hour)
 from duplicate_finder_spark.operators.ann import (cosine_pairs_above,
                                                   cosine_topk,
+                                                  cosine_topk_ivf,
                                                   cosine_topk_lsh)
 from duplicate_finder_spark.operators.components import connected_components
 from duplicate_finder_spark.operators.events import (duplicate_events,
@@ -409,6 +410,17 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(with_payload(_docs(spark, sf_dir)))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF scale-path ANN (coarse quantize → probe → exact re-rank).
+    Engine-defined approximate output; recall vs brute force pinned by
+    tests/test_events_lcs_streaming.py instead of a SQL oracle."""
+    emb = _emb(spark, sf_dir)
+    out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < ANN_NQ),
+                          k=ANN_K, n_cells=16, n_probe=6)
+    return out.select("query_id", "neighbor_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN (hyperplane LSH prune + exact re-rank). Output is
     engine-defined (approximate); recall vs brute force is pinned by
@@ -464,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

@@ -114,6 +114,84 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "sim", "rank"))
 
 
+def ivf_centroids(vectors: DataFrame, n_cells: int, seed: int = 42,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """→ (cell_id, cv): deterministic pseudo-random sample of ``n_cells``
+    corpus vectors as coarse-quantizer centroids (IVF-flat style; a
+    k-means refinement would slot in here unchanged downstream).
+
+    orderBy+limit plans as TakeOrderedAndProject — each partition ships
+    only its n_cells best rows to the driver-side heap, never the corpus.
+    """
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    return (vectors
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_cells)
+            .withColumn("cell_id", F.row_number().over(w))
+            .select("cell_id", F.col(vec_col).cast("array<double>")
+                    .alias("cv")))
+
+
+def _nearest_cells(side: DataFrame, cents: DataFrame, n_probe: int,
+                   id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """Assign each vector to its ``n_probe`` highest-cosine cells.
+    Centroids broadcast; the N×M scoring is map-side, and for n_probe=1
+    the argmax is a partial-aggregable max_by (shuffle carries one row
+    per vector, not N×M)."""
+    v = side.select(F.col(id_col).alias(out_id),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) *
+                                           _norm(F.col("cv")))
+    scored = v.crossJoin(F.broadcast(cents)).withColumn("_s", sim)
+    if n_probe == 1:
+        return (scored.groupBy(out_id)
+                .agg(F.max_by("cell_id", "_s").alias("cell_id")))
+    w = F.row_number().over(
+        Window.partitionBy(out_id).orderBy(F.desc("_s"), F.asc("cell_id")))
+    return (scored.withColumn("_r", w).filter(F.col("_r") <= n_probe)
+            .select(out_id, "cell_id"))
+
+
+def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                    n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int = 6) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
+    inverted lists, probe each query's ``n_probe`` nearest cells, exact
+    cosine re-rank within the probed lists. Same output schema as
+    ``cosine_topk``; recall grows with n_probe/n_cells.
+
+    Scale shape: corpus→cell assignment is one map-side N×M scoring pass
+    + a combine-friendly argmax; the candidate join is an equi-join on
+    cell_id (corpus never cross-joins queries). Cell population skew is
+    data-dependent — AQE's skew-join split is the backstop, and n_cells
+    sizes the lists (≈N/n_cells each).
+    """
+    cents = ivf_centroids(vectors, n_cells, seed, id_col, vec_col)
+    v_cells = _nearest_cells(vectors, cents, 1, id_col, vec_col,
+                             "neighbor_id")
+    q_cells = _nearest_cells(queries, cents, n_probe, id_col, vec_col,
+                             "query_id")
+    cand = (v_cells.join(F.broadcast(q_cells), "cell_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    n = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"))
+    sim = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) *
+                                            _norm(F.col("nv")))
+    scored = (cand.join(n, "neighbor_id").join(F.broadcast(q), "query_id")
+              .withColumn("sim", F.round(sim, round_digits)))
+    w = F.row_number().over(
+        Window.partitionBy("query_id")
+              .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", w)
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))
+
+
 def hyperplane_buckets(vectors: DataFrame, n_planes: int = 12,
                        seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

@@ -29,9 +29,10 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -40,6 +41,29 @@ class StageManifest:
     fingerprint: str
     rows: int
     written_at: float
+    # per-partition lineage (north rule): row count per read-split of the
+    # written snapshot, in partition order — the skew evidence a rerun or
+    # an operator-tuning pass reads before touching the data
+    partition_rows: list[int] = field(default_factory=list)
+    n_partitions: int = 0
+    max_partition_rows: int = 0
+
+    @property
+    def skew_ratio(self) -> float:
+        """max/mean partition rows — 1.0 is perfectly balanced."""
+        if not self.partition_rows or self.rows == 0:
+            return 1.0
+        mean = self.rows / len(self.partition_rows)
+        return self.max_partition_rows / mean if mean else 1.0
+
+
+def _partition_histogram(df: DataFrame) -> list[int]:
+    """Rows per partition, in partition-id order. One lightweight job —
+    a groupBy on spark_partition_id() is map-side only per split."""
+    counts = (df.groupBy(F.spark_partition_id().alias("pid")).count()
+              .collect())
+    return [int(c["count"]) for c in
+            sorted(counts, key=lambda r: r["pid"])]
 
 
 class ParquetWarehouse:
@@ -66,10 +90,15 @@ class ParquetWarehouse:
         final = self._table_dir(name)
         tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
         df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
-        rows = self.spark.read.parquet(os.path.join(tmp, "data")).count()
+        back = self.spark.read.parquet(os.path.join(tmp, "data"))
+        parts = _partition_histogram(back)
+        rows = sum(parts)
         manifest = StageManifest(stage=stage or name,
                                  fingerprint=fingerprint, rows=rows,
-                                 written_at=time.time())
+                                 written_at=time.time(),
+                                 partition_rows=parts,
+                                 n_partitions=len(parts),
+                                 max_partition_rows=max(parts, default=0))
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest.__dict__, f)
         if os.path.exists(final):
@@ -127,10 +156,14 @@ class IcebergWarehouse:
     def write(self, df: DataFrame, name: str, stage: str = "",
               fingerprint: str = "") -> StageManifest:
         df.writeTo(self._fq(name)).using("iceberg").createOrReplace()
-        rows = self.spark.table(self._fq(name)).count()
+        back = self.spark.table(self._fq(name))
+        parts = _partition_histogram(back)
         manifest = StageManifest(stage=stage or name,
-                                 fingerprint=fingerprint, rows=rows,
-                                 written_at=time.time())
+                                 fingerprint=fingerprint, rows=sum(parts),
+                                 written_at=time.time(),
+                                 partition_rows=parts,
+                                 n_partitions=len(parts),
+                                 max_partition_rows=max(parts, default=0))
         self.spark.createDataFrame([manifest.__dict__]) \
             .writeTo(self._fq(name + "_manifest")).using("iceberg") \
             .createOrReplace()

@@ -239,3 +239,34 @@ def test_streaming_sessions_single_batch_matches_batch(spark, tmp_path):
            for r in out}
     assert got == {(7, 1): (1, 0), (7, 2): (1, 0),
                    (7, 3): (1, 0), (7, 4): (1, 0)}
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from duplicate_finder_spark.operators.ann import (cosine_topk,
+                                                      cosine_topk_ivf)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    k = 5
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=k).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk_ivf(emb, q, k=k, n_cells=8,
+                                       n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells on weak synthetic neighbors — real clustered
+    # embeddings concentrate neighbors into the probed cells far harder
+    assert recall >= 0.6, f"IVF ANN recall {recall:.2f} too low"
+
+
+def test_ivf_centroids_deterministic_and_assignment_total(spark):
+    from duplicate_finder_spark.operators.ann import (_nearest_cells,
+                                                      ivf_centroids)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = {(r.cell_id,) for r in ivf_centroids(emb, 8).collect()}
+    c2 = {(r.cell_id,) for r in ivf_centroids(emb, 8).collect()}
+    assert c1 == c2 and len(c1) == 8
+    cents = ivf_centroids(emb, 8)
+    assign = _nearest_cells(emb, cents, 1, "vec_id", "embedding", "nid")
+    # total assignment: every vector lands in exactly one cell
+    assert assign.count() == emb.count()
+    assert assign.select("nid").distinct().count() == emb.count()

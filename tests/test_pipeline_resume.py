@@ -74,3 +74,20 @@ def test_keep_overrides_flow_through(spark, small_pages, tmp_path):
     assert kept[ov[0]["keep_url"]] == "keep"
     assert all(a == "delete" for u, a in kept.items()
                if u != ov[0]["keep_url"])
+
+
+def test_manifest_per_partition_lineage(spark, small_pages, tmp_path):
+    """Every checkpoint snapshot's manifest carries the per-partition row
+    histogram (north rule: per-partition lineage + metrics) and the
+    derived skew ratio."""
+    pages, _ = small_pages
+    wh = get_warehouse(spark, str(tmp_path / "whp"))
+    run_resumable(spark, pages, CFG, wh, input_id="corpus-v1")
+    fp = config_fingerprint(CFG, "corpus-v1")
+    for stage in ("signatures", "edges", "clusters"):
+        m = wh.manifest(f"{stage}_{fp}")
+        assert m is not None
+        assert m.n_partitions == len(m.partition_rows) > 0
+        assert sum(m.partition_rows) == m.rows
+        assert m.max_partition_rows == max(m.partition_rows)
+        assert m.skew_ratio >= 1.0
