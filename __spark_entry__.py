@@ -23,8 +23,10 @@ from duplicate_finder_spark.config import PipelineConfig
 from duplicate_finder_spark.functions.globs import glob_to_java_regex
 from duplicate_finder_spark.functions.hashing import (content_sha256,
                                                       normalized_fingerprint)
-from duplicate_finder_spark.functions.text import (punct_ratio,
+from duplicate_finder_spark.functions.text import (bpe_token_count,
+                                                   punct_ratio,
                                                    quality_score,
+                                                   stopword_ratio,
                                                    token_count, tokens)
 from duplicate_finder_spark.operators import exact as ex
 from duplicate_finder_spark.operators import decisions as dec
@@ -195,6 +197,15 @@ def q_token_stats(spark, sf_dir):
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"))
+
+
+def q_token_stats_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts + per-lang stopword ratio — the
+    LLM-oriented complement of whitespace token_stats."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"))
 
 
 def q_quality_scores(spark, sf_dir):
@@ -455,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_glob": q_filter_glob,
         "fingerprint_dups": q_fingerprint_dups,
         "token_stats": q_token_stats,
+        "token_stats_bpe": q_token_stats_bpe,
         "quality_scores": q_quality_scores,
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
@@ -676,6 +688,19 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": f"""
           SELECT doc_id, ({_TOKCOUNT})::BIGINT AS n_tokens,
                  round({_PUNCT}, 6) AS punct_ratio
+          FROM documents
+        """,
+        "token_stats_bpe": r"""
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+                   AS n_bpe_tokens,
+                 round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+                   len(list_filter(regexp_split_to_array(trim(text),
+                       '\s+'), t -> lower(t) IN
+                       ('the','and','of','to','in','is','a'))) * 1.0 /
+                   len(regexp_split_to_array(trim(text), '\s+')) END, 6)
+                   AS stopword_ratio_en
           FROM documents
         """,
         "quality_scores": f"""

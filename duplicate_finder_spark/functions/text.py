@@ -70,6 +70,23 @@ def char_ngrams(col: Column | str = "text", n: int = 8) -> Column:
             .otherwise(F.array_distinct(grams))
 
 
+# BPE-style pre-tokenizer classes (GPT-2-ish, simplified to what Java
+# and DuckDB regex engines agree on): letter runs, digit runs, and each
+# punctuation mark as its own token — the unit a byte-pair encoder would
+# merge within. Counting these approximates LLM token counts far better
+# than whitespace words on punctuation-heavy web text.
+BPE_TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column | str = "text") -> Column:
+    """BPE-ish pre-tokens (letter runs / digit runs / single punct)."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RX), 0)
+
+
+def bpe_token_count(col: Column | str = "text") -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def punct_ratio(col: Column | str = "text") -> Column:
     """Share of non-alphanumeric, non-space chars (quality signal)."""
     c = _c(col)

@@ -84,6 +84,77 @@ def extract_features(df: DataFrame, modality: str = "image",
     return df.select(id_col, bin_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
+FRAME_SCHEMA = "doc_id long, frame_no int, frame binary"
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: image resize. The real branch decodes with PIL and re-encodes
+    at (width, height); absent codecs, the deterministic fake samples
+    ``width*height`` bytes evenly from the payload so output size, shape
+    metadata, and determinism are all testable."""
+    if not payload:
+        return b""
+    n = max(1, width * height)
+    step = max(1, len(payload) // n)
+    return payload[::step][:n]
+
+
+def resize_images(df: DataFrame, width: int = 4, height: int = 4,
+                  id_col: str = "doc_id",
+                  bin_col: str = "payload") -> DataFrame:
+    """(id, binary) → (doc_id, width, height, thumb): Arrow-batched
+    thumbnailing; one task streams many batches (mapInPandas iterator)."""
+    id_name, bin_name = id_col, bin_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf[bin_name]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_name].astype("int64"),
+                "width": width, "height": height,
+                "thumb": payload.map(
+                    lambda b: resize_stub(b, width, height)
+                    if b is not None else None),
+            })
+
+    return df.select(id_col, bin_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 4, frame_len: int = 16,
+                  id_col: str = "doc_id",
+                  bin_col: str = "payload") -> DataFrame:
+    """(id, binary video) → one row per sampled frame (doc_id, frame_no,
+    frame). STUB frame extraction: real branch seeks keyframes via
+    ffmpeg; the fake slices fixed-stride windows so the EXPLODED output
+    shape — the part that matters to Spark (row-per-frame fanout,
+    partition sizing) — is real.
+    """
+    id_name, bin_name = id_col, bin_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for doc_id, b in zip(pdf[id_name].astype("int64"),
+                                 pdf[bin_name]):
+                if b is None:
+                    continue
+                for fno in range(min(max_frames,
+                                     max(1, len(b) // every_n_bytes))):
+                    off = fno * every_n_bytes
+                    ids.append(doc_id)
+                    frame_nos.append(fno)
+                    frames.append(bytes(b[off:off + frame_len]))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_no": pd.Series(frame_nos, dtype="int32"),
+                "frame": pd.Series(frames, dtype=object),
+            })
+
+    return df.select(id_col, bin_col).mapInPandas(run, FRAME_SCHEMA)
+
+
 def with_payload(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Test/demo helper: synthesize an opaque binary payload column from

@@ -232,3 +232,75 @@ def test_apply_delete_anti_join(spark):
     assert dec.apply_delete(pages, d, True, False, False).count() == 3
     survivors = dec.apply_delete(pages, d, True, False, True)
     assert sorted(r.url for r in survivors.collect()) == ["a", "c"]
+
+
+def test_bpe_token_count_matches_python_regex(spark):
+    import re
+    from pyspark.sql import Row
+    from duplicate_finder_spark.functions.text import (BPE_TOKEN_RX,
+                                                       bpe_token_count)
+    texts = ["Hello, world! 123", "", "  a--b  c3d ", "ünïcode stays?!",
+             "one"]
+    df = spark.createDataFrame([Row(i=i, text=t)
+                                for i, t in enumerate(texts)])
+    got = {r.i: r.n for r in
+           df.select("i", bpe_token_count("text").alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(BPE_TOKEN_RX, t)), t
+
+
+def test_report_render_reference_format(spark):
+    from pyspark.sql import Row
+    from duplicate_finder_spark.reports import (render_decisions,
+                                                render_groups)
+    clusters = spark.createDataFrame([
+        Row(cluster_id="h1", url="b.txt", size=2048, rank=2),
+        Row(cluster_id="h1", url="a.txt", size=2048, rank=1),
+        Row(cluster_id="h2", url="c.txt", size=10, rank=1),
+        Row(cluster_id="h2", url="d.txt", size=10, rank=2),
+    ])
+    text = render_groups(clusters)
+    # reference header format (duplicate_finder.py:267,285) + humanize
+    # quirk (1024 divisor, "KB" label — utils.py:62-86)
+    assert "Found 2 duplicate group(s):" in text
+    assert "Group 1/2 (2 file(s), size: 2.0 KB)" in text
+    assert "Group 2/2 (2 file(s), size: 10 B)" in text
+    # members sorted within group (W1)
+    assert text.index("a.txt") < text.index("b.txt")
+
+    decisions = spark.createDataFrame([
+        Row(cluster_id="h1", url="b.txt", action="delete"),
+        Row(cluster_id="h1", url="a.txt", action="keep"),
+        Row(cluster_id="h2", url="c.txt", action="skip"),
+    ])
+    assert render_decisions(decisions, dry_run=True) == \
+        "[would delete] b.txt\nSkipped: c.txt"
+    assert render_decisions(decisions, dry_run=False) == \
+        "Deleted: b.txt\nSkipped: c.txt"
+
+
+def test_multimodal_resize_and_frames(spark):
+    from pyspark.sql import Row
+    from duplicate_finder_spark.operators.multimodal import (resize_images,
+                                                             resize_stub,
+                                                             sample_frames)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, payload=bytes(range(256))),
+        Row(doc_id=2, payload=b"tiny"),
+    ])
+    thumbs = {r.doc_id: r for r in resize_images(docs, 4, 4).collect()}
+    assert len(thumbs[1].thumb) == 16 and thumbs[1].width == 4
+    assert thumbs[1].thumb == resize_stub(bytes(range(256)), 4, 4)
+    assert len(thumbs[2].thumb) <= 16  # shorter payload → fewer bytes
+
+    frames = sample_frames(docs, every_n_bytes=64, max_frames=4,
+                           frame_len=16).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 4           # 256 // 64
+    assert all(len(r.frame) == 16 for r in by_doc[1])
+    assert [r.frame_no for r in sorted(by_doc[1],
+                                       key=lambda x: x.frame_no)] == \
+        [0, 1, 2, 3]
+    assert len(by_doc[2]) == 1           # min one frame

@@ -82,11 +82,17 @@ def run_once(cpus: int, cfg: PipelineConfig) -> dict:
         .write.format("noop").mode("overwrite").save()
     _pipeline_decisions(spark, cfg).count()
 
-    t0 = time.time()
-    n_decisions = _pipeline_decisions(spark, cfg).count()
-    wall = time.time() - t0
+    # best of two timed passes: a hypervisor-steal spike during one pass
+    # would otherwise masquerade as an engine scaling property
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        n_decisions = _pipeline_decisions(spark, cfg).count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
     spark.stop()
     return {"cpus": cpus, "wall_sec": round(wall, 2),
+            "walls": [round(w, 2) for w in walls],
             "docs_per_sec": round(n_docs / wall, 1),
             "n_docs": n_docs, "n_decisions": n_decisions}
 
