@@ -156,3 +156,45 @@ def test_fixture_corpus_exact_parity(spark, small_pages):
         merged.setdefault(key, set()).update(g)
     want_groups = {frozenset(v) for v in merged.values()}
     assert got_groups == want_groups
+
+
+# --- extraction invariant (input_hint: byte-identical text per url) ----------
+
+def test_extract_text_byte_identical_on_corpus(spark, small_pages):
+    """Every fixture page: text extracted from html == stored text,
+    byte-for-byte (compared via utf-8 sha2, not string semantics)."""
+    from duplicate_finder_spark.functions.extraction import (
+        with_extracted_text)
+    pages, _ = small_pages
+    ex = with_extracted_text(pages, out_col="_extracted")
+    mismatches = ex.filter(
+        F.sha2(F.encode("_extracted", "utf-8"), 256)
+        != F.sha2(F.encode("text", "utf-8"), 256)).count()
+    assert mismatches == 0
+
+
+def test_extract_text_preserves_unicode_forms(spark):
+    """NFC vs NFD, Cyrillic, emoji: extraction must not normalize."""
+    import unicodedata
+    from pyspark.sql import Row
+    from duplicate_finder_spark.functions.extraction import (
+        with_extracted_text)
+    nfc = unicodedata.normalize("NFC", "café façade")
+    nfd = unicodedata.normalize("NFD", "café façade")
+    assert nfc != nfd  # distinct byte sequences
+    rows = [
+        Row(url="u1", html=b"<html><body>" + nfc.encode() + b"</body></html>",
+            want=nfc),
+        Row(url="u2", html=b"<html><body>" + nfd.encode() + b"</body></html>",
+            want=nfd),
+        Row(url="u3", html="<p>і та в — 😀</p>".encode(), want="і та в — 😀"),
+        # a bare '<' opens a "tag" that swallows through the next '>' —
+        # documented limitation of the byte-conservative extractor
+        Row(url="u4", html=b"<div>a < b is fine</div>", want="a "),
+    ]
+    got = {r.url: (r.t, r.want) for r in
+           with_extracted_text(spark.createDataFrame(rows), out_col="t")
+           .collect()}
+    for url in ("u1", "u2", "u3", "u4"):
+        t, want = got[url]
+        assert t == want and t.encode() == want.encode(), url
