@@ -100,3 +100,17 @@ def test_text_features_stay_jvm_side(parquet_pages):
     # formatted mode stars codegen'd nodes — the scalar projection must
     # sit inside whole-stage codegen
     assert "* Project" in plan
+
+
+def test_no_row_python_anywhere_in_contract(spark):
+    """Global input_hint invariant: every driver-contract query plans its
+    Python (if any) as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+    — BatchEvalPython (row-at-a-time pickling) must never appear."""
+    import __spark_entry__ as entry
+    offenders = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = _plan(df, "extended")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
