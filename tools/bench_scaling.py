@@ -48,8 +48,11 @@ def _pipeline_decisions(spark, cfg: PipelineConfig):
     # exact stage
     exact_cl = ex.exact_clusters(pages, cfg)
     e_exact = exact_edges(exact_cl)
-    # near stage (scale path)
-    sigs = signatures(pages, cfg)
+    # near stage (scale path); signatures persisted — the Arrow-UDF
+    # subtree feeds banding + both verify sides and would recompute 3×
+    # otherwise (at real scale this materialization is the warehouse
+    # signature checkpoint, pipeline.run_resumable)
+    sigs = signatures(pages, cfg).persist()
     pairs = candidate_pairs(sigs, cfg)
     near = verify_pairs(pairs, sigs, cfg.jaccard_threshold)
     edges = e_exact.unionByName(
@@ -83,9 +86,12 @@ def run_once(cpus: int, cfg: PipelineConfig) -> dict:
     _pipeline_decisions(spark, cfg).count()
 
     # best of two timed passes: a hypervisor-steal spike during one pass
-    # would otherwise masquerade as an engine scaling property
+    # would otherwise masquerade as an engine scaling property. Cache is
+    # cleared first — Spark matches cached plans structurally, so a later
+    # pass would silently reuse the previous pass's persisted signatures.
     walls = []
     for _ in range(2):
+        spark.catalog.clearCache()
         t0 = time.time()
         n_decisions = _pipeline_decisions(spark, cfg).count()
         walls.append(time.time() - t0)
