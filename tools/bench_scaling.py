@@ -141,7 +141,7 @@ def main() -> None:
            "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling
            else None}
     print(json.dumps(out))
-    md = f"""# BENCH/BASELINE — measured engine numbers
+    md = f"""# BENCH scaling run (raw)
 
 Scaling-efficiency evidence for the north rule's two-cluster-size
 criterion (sandbox proxy: same job + same on-disk input at local[8] vs
@@ -179,8 +179,11 @@ Reference comparison: the reference publishes no throughput numbers
 only. Its architecture cannot run this workload at any comparable scale
 — the engine's single-node docs/sec above is the measured baseline.
 """
+    # LAST_RUN.md, not BASELINE.md: BASELINE.md is curated by hand from
+    # the best measured runs of BOTH pipeline variants (see its method
+    # section); each raw run lands here for comparison first.
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+    with open("/root/repo/BENCH/LAST_RUN.md", "w") as f:
         f.write(md)
 
 
