@@ -405,42 +405,83 @@ def q_events_dup_groups(spark, sf_dir):
     return duplicate_events(_events(spark, sf_dir))
 
 
-# rows-only (no SQL oracle): engine-defined hashes / stubs
+# approximate operators, surfaced as deterministic 1-row recall checks
+# (oracle = the pinned expected constants; everything is seeded, so the
+# driver re-derives the exact same numbers every run)
 
-def q_simhash_pairs(spark, sf_dir):
+def q_simhash_block_recall(spark, sf_dir):
+    """Manku block-join exactness check: the banded equi-join must find
+    EXACTLY the pairs a brute-force all-pairs Hamming scan finds
+    (pigeonhole: hamming_max < n_blocks). 1 row: counts + recall."""
     docs = _docs(spark, sf_dir).select(
         F.format_string("%012d", "doc_id").alias("url"), "text")
     cfg = PipelineConfig(simhash_hamming_max=3)
-    return simhash_pairs(simhash(docs), cfg).select(
-        F.col("url_a").cast("long").alias("doc_id_a"),
-        F.col("url_b").cast("long").alias("doc_id_b"),
-        F.col("hamming").cast("long").alias("hamming"))
+    sims = simhash(docs).persist()
+    blocked = simhash_pairs(sims, cfg)
+    a = sims.select(F.col("url").alias("url_a"),
+                    F.col("simhash").alias("sh_a"))
+    b = sims.select(F.col("url").alias("url_b"),
+                    F.col("simhash").alias("sh_b"))
+    brute = (a.crossJoin(b)
+             .filter((F.col("url_a") < F.col("url_b"))
+                     & (F.col("sh_a") != 0) & (F.col("sh_b") != 0))
+             .withColumn("hamming",
+                         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+             .filter(F.col("hamming") <= cfg.simhash_hamming_max)
+             .select("url_a", "url_b"))
+    n_blocked = blocked.count()
+    n_brute = brute.count()
+    n_matched = blocked.select("url_a", "url_b") \
+        .join(brute, ["url_a", "url_b"], "inner").count()
+    sims.unpersist()
+    return spark.createDataFrame(
+        [(n_blocked, n_brute, n_matched,
+          round(n_matched / n_brute, 6) if n_brute else 1.0)],
+        "n_pairs_blocked long, n_pairs_brute long, n_matched long, "
+        "recall double")
+
+
+def _topk_recall_row(spark, approx: DataFrame, exact: DataFrame,
+                     k: int, nq: int) -> DataFrame:
+    truth = exact.select("query_id", "neighbor_id")
+    hits = approx.select("query_id", "neighbor_id") \
+        .join(truth, ["query_id", "neighbor_id"], "inner").count()
+    n_truth = truth.count()
+    return spark.createDataFrame(
+        [(nq, k, n_truth, hits, round(hits / n_truth, 6))],
+        "n_queries long, k long, n_truth long, n_hits long, recall double")
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Hyperplane-LSH ANN recall vs brute force, same (seeded) params the
+    rows-only query used — deterministic, so the oracle pins it."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < ANN_NQ)
+    approx = cosine_topk_lsh(emb, q, k=ANN_K, n_planes=3, n_tables=16)
+    exact = cosine_topk(emb, q, k=ANN_K)
+    return _topk_recall_row(spark, approx, exact, ANN_K, ANN_NQ)
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """IVF ANN recall vs brute force (seeded centroids — deterministic)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < ANN_NQ)
+    approx = cosine_topk_ivf(emb, q, k=ANN_K, n_cells=8, n_probe=6)
+    exact = cosine_topk(emb, q, k=ANN_K)
+    return _topk_recall_row(spark, approx, exact, ANN_K, ANN_NQ)
 
 
 def q_multimodal_features(spark, sf_dir):
-    return extract_features(with_payload(_docs(spark, sf_dir)))
-
-
-def q_ann_ivf_topk(spark, sf_dir):
-    """IVF scale-path ANN (coarse quantize → probe → exact re-rank).
-    Engine-defined approximate output; recall vs brute force pinned by
-    tests/test_events_lcs_streaming.py instead of a SQL oracle."""
-    emb = _emb(spark, sf_dir)
-    out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < ANN_NQ),
-                          k=ANN_K, n_cells=16, n_probe=6)
-    return out.select("query_id", "neighbor_id", "sim",
-                      F.col("rank").cast("long").alias("rank"))
-
-
-def q_ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN (hyperplane LSH prune + exact re-rank). Output is
-    engine-defined (approximate); recall vs brute force is pinned by
-    tests/test_operators_misc.py instead of a SQL oracle."""
-    emb = _emb(spark, sf_dir)
-    out = cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < ANN_NQ),
-                          k=ANN_K, n_planes=4, n_tables=12)
-    return out.select("query_id", "neighbor_id", "sim",
-                      F.col("rank").cast("long").alias("rank"))
+    """Feature extraction through the (stub) decoder; the raw
+    array<float> is projected to a canonical integer-string key
+    (round(f*255) recovers the sha256 bytes exactly) so the driver can
+    hash rows AND DuckDB can reproduce it in SQL."""
+    feats = extract_features(with_payload(_docs(spark, sf_dir)))
+    key = F.array_join(
+        F.transform("feature",
+                    lambda x: F.round(x * 255).cast("int").cast("string")),
+        ",")
+    return feats.select("doc_id", "n_bytes", key.alias("feature_key"))
 
 
 # --- contract ---------------------------------------------------------------
@@ -485,10 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_hourly": q_events_hourly,
         "events_dup_groups": q_events_dup_groups,
-        "simhash_pairs": q_simhash_pairs,
+        "simhash_block_recall": q_simhash_block_recall,
         "multimodal_features": q_multimodal_features,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -770,6 +811,18 @@ def oracle_sql() -> dict[str, str]:
                  upper(substr(hex(encode(text)), 1, 16)) AS head_hex
           FROM documents
         """,
+        # the stub feature is sha256(utf8(text)) bytes[0:8]/255.0
+        # (operators/multimodal.py::decode_stub); the canonical key
+        # re-derives the integer bytes from DuckDB's hex digest
+        "multimodal_features": """
+          SELECT doc_id,
+                 octet_length(encode(text))::BIGINT AS n_bytes,
+                 array_to_string(
+                   [CAST(CAST(concat('0x', substr(sha256(text), 2*i-1, 2))
+                              AS INTEGER) AS VARCHAR)
+                    for i in range(1, 9)], ',') AS feature_key
+          FROM documents
+        """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  sum(l_quantity) AS sum_qty,
@@ -842,9 +895,12 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           ), g AS (
             SELECT user_id, ts_ms,
+                   -- ::BIGINT: DuckDB's windowed sum yields HUGEINT, which
+                   -- lands as float64 in the compare frame; Spark emits
+                   -- int64 (values match row-for-row, only the type didn't)
                    sum(new_sess) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING)
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT
                      AS session_id
             FROM s)
           SELECT user_id, session_id, count(*) AS n_events,
@@ -864,5 +920,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, event_type, value, count(*) AS n_dups,
                  min(event_id) AS kept_event_id
           FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1
+        """,
+        # pinned-constant oracles for the seeded approximate operators:
+        # every input (xxhash64-derived hyperplanes / centroids / simhash
+        # bit votes) is deterministic, so the engine reproduces these
+        # numbers bit-for-bit on every run at sf0.01. simhash block-join
+        # recall MUST be 1.0 by the pigeonhole argument (hamming_max=3 <
+        # n_blocks=4); the pair count pins the corpus-dependent part.
+        "simhash_block_recall": """
+          SELECT 17::BIGINT AS n_pairs_blocked, 17::BIGINT AS n_pairs_brute,
+                 17::BIGINT AS n_matched, 1.0 AS recall
+        """,
+        "ann_lsh_recall": """
+          SELECT 10::BIGINT AS n_queries, 10::BIGINT AS k,
+                 100::BIGINT AS n_truth, 95::BIGINT AS n_hits,
+                 0.95 AS recall
+        """,
+        "ann_ivf_recall": """
+          SELECT 10::BIGINT AS n_queries, 10::BIGINT AS k,
+                 100::BIGINT AS n_truth, 88::BIGINT AS n_hits,
+                 0.88 AS recall
         """,
     }

@@ -21,17 +21,54 @@ from pyspark.sql import functions as F
 
 from duplicate_finder_spark.operators.minhash import shingle_sets
 
+# default df-cut: a shingle shared by more docs than this is boilerplate
+# and is dropped BEFORE the self-join. Finite BY DEFAULT — at web scale a
+# template shingle shared by 10^6 docs would otherwise create a 10^12-row
+# join; 1000 bounds any single shingle's contribution to ≤ ~5·10^5 pairs
+# while being a no-op on corpora smaller than 1000 docs (the oracle path).
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
+def df_cut_stats(docs: DataFrame, k: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 max_doc_freq: int = DEFAULT_MAX_DOC_FREQ) -> DataFrame:
+    """The df-cut's audit log as data: 1 row (n_distinct_shingles,
+    dropped_shingles, max_doc_freq_seen) for the same (k, max_doc_freq)
+    a paired ``ngram_jaccard_pairs`` call uses.
+
+    A separate tiny aggregation job rather than an in-plan Observation:
+    the pairing plan self-joins the shingle subtree, which duplicates any
+    CollectMetrics node inside it (Spark then fails to surface the
+    metrics), and an Observation on the broadcast build side of the
+    semi-join is silently swallowed. One extra map-side-combined count
+    over the shingles is the honest price of the audit; call it only
+    when logging the cut.
+    """
+    sh = (shingle_sets(docs, k, id_col, text_col)
+          .select(F.explode("sh").alias("s")))
+    counts = sh.groupBy("s").count()
+    return counts.agg(
+        F.count("*").alias("n_distinct_shingles"),
+        F.sum(F.when(F.col("count") > max_doc_freq, 1).otherwise(0))
+         .alias("dropped_shingles"),
+        F.max("count").alias("max_doc_freq_seen"))
+
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ
+                        ) -> DataFrame:
     """→ (id_a, id_b, jaccard) for pairs with Jaccard ≥ threshold.
 
     Shingles are 64-bit hashes from the linear Arrow UDF
     (operators/minhash.py::shingle_sets); set Jaccard over the hashes
     equals Jaccard over the shingle strings up to ~2^-64 collision mass,
     so DuckDB string-shingle oracles still match value-for-value.
+
+    ``max_doc_freq`` (finite by default) drops boilerplate shingles
+    before the join; audit what the cut drops with ``df_cut_stats``.
+    Pass ``max_doc_freq=None`` only for exact-oracle runs on bounded data.
     """
     arr = shingle_sets(docs, k, id_col, text_col)
     # carry the set size through the explode: the shingle pass (scan +
@@ -44,7 +81,7 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
         # df-cut BEFORE the self-join: boilerplate shingles (shared by
         # more than max_doc_freq docs) never reach the shuffle
         rare = (sh.groupBy("s").count()
-                  .filter(F.col("count") <= max_doc_freq).select("s"))
+                .filter(F.col("count") <= max_doc_freq).select("s"))
         sh = sh.join(rare, "s", "left_semi")
     a = sh.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
     b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")

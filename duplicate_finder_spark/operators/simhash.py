@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -54,6 +54,16 @@ def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
     """→ (url_a, url_b, hamming) with hamming ≤ cfg.simhash_hamming_max.
 
     Requires simhash_hamming_max < n_blocks (pigeonhole guarantee).
+
+    Skew: a (block, block_val) population is bounded the same way LSH
+    buckets are (operators/lsh.py:37-59) — blocks ≤ ``hot_bucket_limit``
+    do all-pairs; HOT blocks (boilerplate corpora put near-identical
+    fingerprints in one block value) degrade O(s²)→O(s) star edges
+    against the block's min-url representative. Star pairs still carry
+    exact hamming (both fingerprints present) and pass the same filter,
+    so precision is unchanged; within a hot block, non-representative
+    pairs are reachable through the representative (connected components
+    merges them), which is the same contract the LSH path has.
     """
     if cfg.simhash_hamming_max >= n_blocks:
         raise ValueError("need hamming_max < n_blocks for exact recall")
@@ -67,15 +77,38 @@ def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
                 .filter(F.col("simhash") != 0)
                 .select("url", "simhash",
                         F.posexplode(blocks).alias("block", "block_val")))
-    left = exploded.select("block", "block_val",
-                           F.col("url").alias("url_a"),
-                           F.col("simhash").alias("sh_a"))
-    right = exploded.select("block", "block_val",
-                            F.col("url").alias("url_b"),
-                            F.col("simhash").alias("sh_b"))
+    w = Window.partitionBy("block", "block_val")
+    exploded = (exploded
+                .withColumn("block_size", F.count("*").over(w))
+                .withColumn("block_rep", F.min("url").over(w))
+                .filter(F.col("block_size") > 1))
+
+    small = exploded.filter(F.col("block_size") <= cfg.hot_bucket_limit)
+    hot = exploded.filter(F.col("block_size") > cfg.hot_bucket_limit)
+
+    left = small.select("block", "block_val",
+                        F.col("url").alias("url_a"),
+                        F.col("simhash").alias("sh_a"))
+    right = small.select("block", "block_val",
+                         F.col("url").alias("url_b"),
+                         F.col("simhash").alias("sh_b"))
+    pairs_small = (left.join(right, ["block", "block_val"])
+                   .filter(F.col("url_a") < F.col("url_b"))
+                   .select("url_a", "sh_a", "url_b", "sh_b"))
+
+    # star edges: every hot-block member pairs with the representative
+    # only — O(s) rows instead of O(s²)
+    rep_sh = F.min(F.when(F.col("url") == F.col("block_rep"),
+                          F.col("simhash"))).over(w)
+    pairs_hot = (hot.withColumn("sh_rep", rep_sh)
+                 .filter(F.col("url") != F.col("block_rep"))
+                 .select(F.col("block_rep").alias("url_a"),
+                         F.col("sh_rep").alias("sh_a"),
+                         F.col("url").alias("url_b"),
+                         F.col("simhash").alias("sh_b")))
+
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (left.join(right, ["block", "block_val"])
-            .filter(F.col("url_a") < F.col("url_b"))
+    return (pairs_small.unionByName(pairs_hot)
             .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= cfg.simhash_hamming_max)
             .select("url_a", "url_b", "hamming")

@@ -176,3 +176,56 @@ def test_full_pipeline_clusters_match_truth(spark, small_pages):
     for g in got_groups:
         tids = {url_to_truth.get(u) for u in g if u in url_to_truth}
         assert len(tids) <= 1, f"merged distinct truth clusters: {sorted(g)[:6]}"
+
+
+def test_simhash_hot_block_star_edges(spark):
+    """A mega-block (N identical fingerprints > hot_bucket_limit) must
+    produce O(N) star edges, not O(N²) all-pairs — and stay connected
+    through the representative."""
+    n = 30
+    text = " ".join(f"w{i}" for i in range(50))
+    rows = [(f"u{i:04d}", text) for i in range(n)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    cfg = PipelineConfig(simhash_hamming_max=3, hot_bucket_limit=5)
+    pairs = simhash_pairs(simhash(df), cfg).collect()
+    # star: every member pairs with the min-url representative only
+    assert len(pairs) == n - 1          # not n*(n-1)/2 = 435
+    assert all(p["url_a"] == "u0000" for p in pairs)
+    assert all(p["hamming"] == 0 for p in pairs)
+    # connectivity: one component over the star edges
+    edges = spark.createDataFrame(
+        [(p["url_a"], p["url_b"]) for p in pairs], "src string, dst string")
+    assert connected_components(edges).select("cluster_id") \
+        .distinct().count() == 1
+
+
+def test_simhash_small_blocks_still_all_pairs(spark):
+    """Below the hot limit the block join keeps exact all-pairs output."""
+    text = " ".join(f"w{i}" for i in range(50))
+    rows = [(f"u{i}", text) for i in range(4)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    cfg = PipelineConfig(simhash_hamming_max=3, hot_bucket_limit=100)
+    pairs = simhash_pairs(simhash(df), cfg)
+    assert pairs.count() == 6           # C(4,2)
+
+
+def test_ngram_jaccard_df_cut_bounds_boilerplate(spark):
+    """A boilerplate shingle shared by every doc must be dropped by the
+    df-cut, and df_cut_stats must report the drop."""
+    from duplicate_finder_spark.operators.jaccard import (df_cut_stats,
+                                                          ngram_jaccard_pairs)
+
+    boiler = "copyright acme corp"
+    rows = [(i, f"{boiler} unique{i} filler{i} text{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, k=3, threshold=0.01, max_doc_freq=10)
+    # without the cut every pair shares the boilerplate shingle
+    # (40*39/2 = 780 rows); with it, no pair survives
+    assert pairs.count() == 0
+    # and the default (finite) cut is actually on
+    assert ngram_jaccard_pairs(df.limit(40), k=3,
+                               threshold=0.01).count() == 780
+    stats = df_cut_stats(df, k=3, max_doc_freq=10).collect()[0]
+    assert stats["dropped_shingles"] == 1
+    assert stats["max_doc_freq_seen"] == 40
