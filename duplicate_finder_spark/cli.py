@@ -1,0 +1,287 @@
+"""CLI lifecycle — the reference's ``DuplicateFinder.run``
+(duplicate_finder.py:20-108) re-expressed over the Spark engine.
+
+Stage structure and console output mirror the reference line-for-line
+(scan banner :30, empty-scan early-outs :38,45, group printout :257-274,
+report file :276-295, confirmation gate :85-105, delete/dry-run lines
+:299-351, interactive prompt loop with reprompt-on-invalid :353-425) —
+but every data-touching stage is the distributed DataFrame path:
+``binaryFile`` scan → filters → size semi-join prefilter → sha2 group →
+clusters. The driver only ever handles the tiny duplicate-group tail.
+
+Two input kinds:
+* ``--format files`` (default): real parity — walks a directory of
+  actual files through Spark's binaryFile source; deletion unlinks.
+* ``--format parquet``: the web-scale path — a pages table (url, text);
+  "deletion" rewrites survivors to ``<folder>__dedup`` (never mutates
+  the input in place).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.cli_args import ArgumentParserAdapter
+from duplicate_finder_spark.config import PipelineConfig, humanize_size
+from duplicate_finder_spark.operators import exact as ex
+from duplicate_finder_spark.session import get_spark
+
+
+def load_pages(spark: SparkSession, folder: str, fmt: str) -> DataFrame:
+    """folder → (url, text) DataFrame. 'files' = binaryFile walk (S1:
+    recursive, symlink-free — Hadoop's globber does not follow dangling
+    links); 'parquet' = pages table."""
+    if fmt == "parquet":
+        return spark.read.parquet(folder)
+    raw = (spark.read.format("binaryFile")
+           .option("recursiveFileLookup", "true")
+           .load(folder))
+    # plain POSIX paths like the reference prints (binaryFile yields
+    # file:/... URIs); content stays binary — sha2/length work unchanged
+    return raw.select(
+        F.regexp_replace("path", r"^file:/+", "/").alias("url"),
+        F.col("content").alias("text"))
+
+
+def collect_groups(clusters: DataFrame, cfg: PipelineConfig) -> list[dict]:
+    """clusters → ordered [{members, size, k}] — the tiny report tail
+    (W1 member sort, O1/O2/O3 group ordering, ref :241-255)."""
+    rows = (clusters.groupBy("cluster_id")
+            .agg(F.sort_array(F.collect_list("url")).alias("members"),
+                 F.max("size").alias("size"),
+                 F.count("*").alias("k"))
+            .collect())
+    groups = [{"members": list(r["members"]), "size": int(r["size"]),
+               "k": int(r["k"])} for r in rows]
+    if cfg.sort_by_group_size:
+        groups.sort(key=lambda g: (-g["k"], g["members"][0]))
+    elif cfg.sort_by_file_size:
+        groups.sort(key=lambda g: (-g["size"], g["members"][0]))
+    else:
+        groups.sort(key=lambda g: g["members"][0])
+    return groups
+
+
+def print_duplicates(groups: list[dict]) -> None:
+    """K1 console sink, format parity with ref :257-274."""
+    if not groups:
+        print("No duplicates found.")
+        return
+    total = len(groups)
+    print("\nDuplicate files:")
+    for idx, g in enumerate(groups, start=1):
+        print(f"\nGroup {idx}/{total} ({g['k']}"
+              f" file(s), size: {humanize_size(g['size'])}):")
+        for path in g["members"]:
+            print(f"  - {path}")
+
+
+def save_report(groups: list[dict], output_path: str) -> None:
+    """K2 report-file sink, format parity with ref :276-295."""
+    total = len(groups)
+    try:
+        with open(output_path, "w", encoding="utf-8") as f:
+            f.write("Duplicate files:\n")
+            for idx, g in enumerate(groups, 1):
+                f.write(f"\nGroup {idx}/{total} ({g['k']}"
+                        f" file(s), size: {g['size']} bytes):\n")
+                for path in g["members"]:
+                    f.write(f"  - {path}\n")
+        print(f"\nSaved results to: {output_path}")
+    except Exception as e:  # noqa: BLE001 — parity: report, don't crash
+        print(f"\nERROR: Failed to save to file {output_path}: {e}")
+
+
+def _unlink(path: str, report_lines: list[str]) -> int:
+    """Delete one file, ref error handling (:336-341). → bytes freed."""
+    try:
+        size = Path(path).stat().st_size
+    except Exception as e:  # noqa: BLE001
+        print(f"ERROR: Could not get size for {path}: {e}")
+        report_lines.append(f"FAILED: {path} ({e})")
+        return -1
+    try:
+        Path(path).unlink()
+        print(f"Deleted: {path}")
+        report_lines.append(f"Deleted: {path}")
+        return size
+    except Exception as e:  # noqa: BLE001
+        print(f"ERROR: Failed to delete {path}: {e}")
+        report_lines.append(f"FAILED: {path} ({e})")
+        return -1
+
+
+def delete_duplicates(groups: list[dict], dry_run: bool,
+                      report_path: str | None, unlink: bool) -> None:
+    """K3/K4/D1: keep-first delete with dry-run, ref :297-351.
+
+    ``unlink`` False (parquet mode) prints/report-logs decisions without
+    touching storage — the caller owns the survivors rewrite.
+    """
+    print("\n[DRY RUN]" if dry_run else "\nDeleting duplicate files...")
+    deleted_count = 0
+    total_deleted_size = 0
+    report_lines: list[str] = []
+    for g in groups:
+        for path in g["members"][1:]:  # keep first file in each group
+            if dry_run or not unlink:
+                print(f"[would delete] {path}" if dry_run
+                      else f"Deleted: {path}")
+                report_lines.append(f"[would delete] {path}" if dry_run
+                                    else f"Deleted: {path}")
+                deleted_count += 1
+                total_deleted_size += g["size"]
+                continue
+            freed = _unlink(path, report_lines)
+            if freed >= 0:
+                deleted_count += 1
+                total_deleted_size += freed
+    print(f"\nTotal"
+          f" {'deleted' if not dry_run else 'possible deletions'}:"
+          f" {deleted_count}")
+    print(f"Total"
+          f" {'freed' if not dry_run else 'possible freed'}"
+          f" ({humanize_size(total_deleted_size)})")
+    if report_path:
+        _write_report(report_path, "Duplicate File Deletion Report",
+                      report_lines, 36)
+
+
+def delete_interactive(groups: list[dict], report_path: str | None,
+                       unlink: bool) -> None:
+    """D2: interactive prompt loop with reprompt-on-invalid, ref :353-425."""
+    print("\nInteractive duplicate cleanup started.")
+    deleted_count = 0
+    total_deleted_size = 0
+    report_lines: list[str] = []
+    total = len(groups)
+    for idx, g in enumerate(groups, start=1):
+        members = g["members"]
+        print(f"\nGroup {idx}/{total} ({len(members)} files):")
+        for i, path in enumerate(members):
+            print(f"  [{i + 1}] {path}")
+        to_delete: list[str] = []
+        while True:
+            choice = input(
+                f"Select the file to KEEP [1-{len(members)}],"
+                f" or press Enter to skip this group: ").strip()
+            if not choice:
+                print("Skipped.")
+                report_lines.append(f"Group {idx} skipped: {members}")
+                break
+            try:
+                keep_index = int(choice) - 1
+                if not (0 <= keep_index < len(members)):
+                    raise ValueError
+                to_delete = members[:keep_index] + members[keep_index + 1:]
+                break
+            except ValueError:
+                print("Invalid input. Please enter a number from the list.")
+        for path in to_delete:
+            if not unlink:
+                print(f"Deleted: {path}")
+                report_lines.append(f"Deleted: {path}")
+                deleted_count += 1
+                total_deleted_size += g["size"]
+                continue
+            freed = _unlink(path, report_lines)
+            if freed >= 0:
+                deleted_count += 1
+                total_deleted_size += freed
+    print(f"\nTotal deleted interactively: {deleted_count}")
+    print(f"\nTotal deleted size: {humanize_size(total_deleted_size)}")
+    if report_path:
+        _write_report(report_path, "Interactive Deletion Report",
+                      report_lines, 32)
+
+
+def _write_report(report_path: str, title: str,
+                  lines: list[str], rule_width: int) -> None:
+    try:
+        with open(report_path, "w", encoding="utf-8") as f:
+            f.write(title + "\n" + "=" * rule_width + "\n")
+            f.writelines(line + "\n" for line in lines)
+        print(f"Report saved to: {report_path}")
+    except Exception as e:  # noqa: BLE001
+        print(f"ERROR: Failed to save report: {e}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = ArgumentParserAdapter().parse(argv)
+    cfg = PipelineConfig(
+        pages_path=args.folder_path,
+        include_patterns=args.include or None,
+        exclude_patterns=args.exclude or None,
+        min_size_str=args.min_size,
+        max_size_str=args.max_size,
+        delete_duplicates=args.delete,
+        dry_run=args.dry_run,
+        sort_by_group_size=args.sort_by_group_size,
+        sort_by_file_size=args.sort_by_file_size,
+        parallelism=args.threads or 0,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    spark = get_spark(master=args.master or f"local[{cfg.parallelism}]",
+                      shuffle_partitions=cfg.parallelism)
+    try:
+        print(f"Scanning folder: {args.folder_path}")
+        try:
+            pages = load_pages(spark, args.folder_path, args.format)
+            filtered = ex.apply_filters(pages, cfg)
+        except Exception:  # noqa: BLE001 — empty/missing dir: no files
+            print("No files found or all files are excluded.")
+            return 0
+        if filtered.isEmpty():
+            print("No files found or all files are excluded.")
+            return 0
+        if ex.size_prefilter(filtered).isEmpty():
+            print("No potential duplicates found after filtering by size.")
+            return 0
+
+        # --verify-content is subsumed: clusters group by the full
+        # SHA-256 of the exact bytes (see operators/exact.py V1 note),
+        # so members are byte-identical with or without the flag.
+        clusters = ex.exact_clusters(pages, cfg)
+        groups = collect_groups(clusters, cfg)
+        if not groups:
+            print("No potential duplicates found after hashing.")
+            return 0
+
+        print_duplicates(groups)
+        if args.output:
+            save_report(groups, args.output)
+
+        unlink = args.format == "files"
+        if args.interactive:
+            delete_interactive(groups, args.delete_report, unlink)
+        elif cfg.delete_duplicates:
+            confirm = "y"
+            if not cfg.dry_run:
+                confirm = input(
+                    "\nAre you sure you want to"
+                    " delete duplicate files? (y/[n]): ").strip().lower()
+            if confirm == "y":
+                delete_duplicates(groups, cfg.dry_run,
+                                  args.delete_report, unlink)
+                if not unlink and not cfg.dry_run:
+                    out = args.folder_path.rstrip("/") + "__dedup"
+                    dup_urls = [p for g in groups for p in g["members"][1:]]
+                    survivors = pages.join(
+                        spark.createDataFrame([(u,) for u in dup_urls],
+                                              "url string"),
+                        "url", "left_anti")
+                    survivors.write.mode("overwrite").parquet(out)
+                    print(f"Survivors written to: {out}")
+            else:
+                print("Deletion cancelled.")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,7 +57,8 @@ def jaccard(a: set[str], b: set[str]) -> float:
 class Corpus:
     rows: list[dict] = field(default_factory=list)          # pages rows
     truth_exact: list[dict] = field(default_factory=list)   # cluster_id,url
-    truth_pairs: list[dict] = field(default_factory=list)   # url_a,url_b,jaccard,kind
+    # rows: url_a, url_b, jaccard, kind
+    truth_pairs: list[dict] = field(default_factory=list)
     truth_clusters: list[dict] = field(default_factory=list)
     keep_overrides: list[dict] = field(default_factory=list)
 
@@ -86,7 +87,8 @@ class _Gen:
         n = self.rng.randint(lo, hi)
         return " ".join(self._zipf_tokens(_vocab(lang), n))
 
-    def _add_page(self, text: str, lang: str, *, html: bytes | None = None) -> str:
+    def _add_page(self, text: str, lang: str, *,
+                  html: bytes | None = None) -> str:
         pid = self.page_id
         self.page_id += 1
         site = pid % 97
@@ -102,7 +104,8 @@ class _Gen:
         self.corpus.rows.append(row)
         return url
 
-    def _mutate(self, toks: list[str], n_edits: int, vocab: list[str]) -> list[str]:
+    def _mutate(self, toks: list[str], n_edits: int,
+                vocab: list[str]) -> list[str]:
         toks = list(toks)
         for _ in range(n_edits):
             if not toks:
@@ -154,7 +157,8 @@ class _Gen:
             vocab = _vocab(lang)
             members: list[tuple[str, set[str], str]] = []
             url0 = self._add_page(" ".join(base), lang)
-            members.append((url0, shingle_set(" ".join(base), self.k), " ".join(base)))
+            members.append(
+                (url0, shingle_set(" ".join(base), self.k), " ".join(base)))
             for _ in range(k - 1):
                 mut = self._mutate(base, self.rng.randint(1, 3), vocab)
                 text = " ".join(mut)
@@ -238,12 +242,14 @@ class _Gen:
         for lang in ("en", "de"):
             url = self._add_page(t, lang)
             self.corpus.truth_exact.append({"cluster_id": cid, "url": url})
-        # same text, different html wrapper (text-dedup joins them; html differs)
+        # same text, different html wrapper (text-dedup joins them;
+        # html differs)
         cid = self._next_cluster()
         t2 = self._base_text("en")
         u1 = self._add_page(t2, "en")
         u2 = self._add_page(t2, "en",
-                            html=b"<html><div>" + t2.encode() + b"</div></html>")
+                            html=(b"<html><div>" + t2.encode()
+                                  + b"</div></html>"))
         self.corpus.truth_exact.append({"cluster_id": cid, "url": u1})
         self.corpus.truth_exact.append({"cluster_id": cid, "url": u2})
 

@@ -1,0 +1,98 @@
+"""CLI subprocess e2e — the reference's test_cli_args.py scenarios
+(reference tests/test_cli_args.py:17-59) against the Spark CLI:
+--help usage text, duplicate-group stdout, [would delete] in dry-run,
+exclude filtering, plus the interactive reprompt loop.
+
+Each test spawns a real ``python -m duplicate_finder_spark`` process
+(own JVM, ~15 s), so scenarios are batched where the reference keeps
+them separate.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+def create_file(path: Path, content: str = "data") -> str:
+    path.write_text(content)
+    return str(path)
+
+
+def run_cli(*args: str, input_text: str | None = None
+            ) -> subprocess.CompletedProcess:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "duplicate_finder_spark", *args],
+        capture_output=True, input=input_text, text=True,
+        env=env, cwd=REPO, timeout=180)
+
+
+def test_help_shows_usage() -> None:
+    result = run_cli("--help")
+    assert result.returncode == 0
+    assert "usage" in result.stdout.lower()
+    # reference-parity flags all present in the help text
+    for flag in ("--include", "--exclude", "--min-size", "--max-size",
+                 "--delete", "--dry-run", "--interactive", "--threads",
+                 "--sort-by-group-size", "--sort-by-file-size",
+                 "--verify-content", "--delete-report", "--output"):
+        assert flag in result.stdout
+
+
+def test_find_duplicates_in_cli(tmp_path: Path) -> None:
+    create_file(tmp_path / "a.txt", "dupe")
+    create_file(tmp_path / "b.txt", "dupe")
+    result = run_cli(str(tmp_path), "--threads", "2")
+    assert result.returncode == 0
+    assert "Duplicate files" in result.stdout
+    assert "Group 1/1 (2 file(s)" in result.stdout
+    assert str(tmp_path / "a.txt") in result.stdout
+
+
+def test_dry_run_output_and_reports(tmp_path: Path) -> None:
+    create_file(tmp_path / "x1.txt", "dupe")
+    create_file(tmp_path / "x2.txt", "dupe")
+    out = tmp_path / "dups.txt"
+    rep = tmp_path / "deleted.txt"
+    result = run_cli(str(tmp_path), "--delete", "--dry-run",
+                     "--output", str(out), "--delete-report", str(rep),
+                     "--threads", "2")
+    assert result.returncode == 0
+    assert "[would delete]" in result.stdout
+    assert "Total possible deletions: 1" in result.stdout
+    # nothing actually deleted in dry-run
+    assert (tmp_path / "x1.txt").exists() and (tmp_path / "x2.txt").exists()
+    # K2 report file, reference byte format
+    report = out.read_text()
+    assert report.startswith("Duplicate files:\n")
+    assert "(2 file(s), size: 4 bytes):" in report
+    # K3 deletion report
+    assert "[would delete]" in rep.read_text()
+
+
+def test_exclude_via_cli(tmp_path: Path) -> None:
+    create_file(tmp_path / "keep.txt", "abc")
+    create_file(tmp_path / "skip.log", "abc")
+    result = run_cli(str(tmp_path), "--exclude", "*.log", "--threads", "2")
+    assert result.returncode == 0
+    assert "Duplicate files" not in result.stdout
+
+
+def test_interactive_reprompt_and_keep_choice(tmp_path: Path) -> None:
+    create_file(tmp_path / "a.txt", "dupe")
+    create_file(tmp_path / "b.txt", "dupe")
+    # invalid input first → reprompt; then keep [2] → a.txt deleted
+    result = run_cli(str(tmp_path), "--interactive", "--threads", "2",
+                     input_text="zz\n2\n")
+    assert result.returncode == 0
+    assert "Invalid input. Please enter a number from the list." \
+        in result.stdout
+    assert f"Deleted: {tmp_path / 'a.txt'}" in result.stdout
+    assert not (tmp_path / "a.txt").exists()
+    assert (tmp_path / "b.txt").exists()
+    assert "Total deleted interactively: 1" in result.stdout
