@@ -4,10 +4,15 @@ The north rule asks for Iceberg tables with resumable, lineage-tracked
 per-stage state. This sandbox has no Iceberg runtime jar (no network), so
 the facade ships two implementations behind one call surface:
 
-* ``ParquetWarehouse`` (default): a directory per table, written to a
-  temporary snapshot dir and atomically renamed, with a ``manifest.json``
-  carrying lineage (stage name, input fingerprint, config hash, row
-  count). Readers only ever see a complete snapshot.
+* ``ParquetWarehouse`` (default): a directory per table holding
+  immutable ``snapshot-<id>`` dirs and a ``current`` symlink swapped
+  atomically (``os.replace`` of a link — the POSIX analogue of
+  Iceberg's snapshot-pointer commit), each snapshot carrying a
+  ``manifest.json`` with lineage (stage name, input fingerprint,
+  config hash, row count). Readers only ever see a complete snapshot,
+  and a reader that resolved the previous snapshot keeps working
+  through one subsequent write (the last superseded snapshot is
+  retained; older ones are garbage-collected on write).
 * ``IcebergWarehouse``: same call sites via ``saveAsTable``/``table`` on
   a configured Iceberg catalog — activates when
   ``spark.sql.catalog.<name>`` is present (config-only switch; the
@@ -67,7 +72,13 @@ def _partition_histogram(df: DataFrame) -> list[int]:
 
 
 class ParquetWarehouse:
-    """Local/HDFS-path warehouse with atomic snapshot semantics."""
+    """Local/HDFS-path warehouse with atomic snapshot-pointer semantics:
+    each write lands in an immutable ``snapshot-<id>`` dir, then a
+    ``current`` symlink is swapped via ``os.replace`` (atomic on POSIX)
+    — there is no instant at which a reader can observe a missing or
+    partial table. The superseded snapshot survives one write so
+    DataFrames already bound to it (Spark resolves the real path at
+    plan time) finish their jobs; older snapshots are GC'd."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -79,18 +90,24 @@ class ParquetWarehouse:
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _manifest_path(self, name: str) -> str:
-        return os.path.join(self._table_dir(name), "manifest.json")
+    def _current(self, name: str) -> str | None:
+        """Real path of the current snapshot dir, or None."""
+        link = os.path.join(self._table_dir(name), "current")
+        if not os.path.lexists(link):
+            return None
+        return os.path.realpath(link)
 
     # -- core API --------------------------------------------------------------
 
     def write(self, df: DataFrame, name: str, stage: str = "",
               fingerprint: str = "") -> StageManifest:
-        """Write df as the new snapshot of ``name`` (atomic rename)."""
-        final = self._table_dir(name)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
-        back = self.spark.read.parquet(os.path.join(tmp, "data"))
+        """Write df as the new current snapshot of ``name``."""
+        table = self._table_dir(name)
+        os.makedirs(table, exist_ok=True)
+        snap_id = "snapshot-" + uuid.uuid4().hex[:12]
+        snap = os.path.join(table, snap_id)
+        df.write.mode("overwrite").parquet(os.path.join(snap, "data"))
+        back = self.spark.read.parquet(os.path.join(snap, "data"))
         parts = _partition_histogram(back)
         rows = sum(parts)
         manifest = StageManifest(stage=stage or name,
@@ -99,19 +116,35 @@ class ParquetWarehouse:
                                  partition_rows=parts,
                                  n_partitions=len(parts),
                                  max_partition_rows=max(parts, default=0))
-        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        with open(os.path.join(snap, "manifest.json"), "w") as f:
             json.dump(manifest.__dict__, f)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        prev = self._current(name)
+        # atomic pointer swap: build the link aside, replace over it
+        tmp_link = os.path.join(table, ".current-" + uuid.uuid4().hex[:8])
+        os.symlink(snap_id, tmp_link)
+        os.replace(tmp_link, os.path.join(table, "current"))
+        # GC: keep the immediately superseded snapshot for in-flight
+        # readers; drop anything older
+        keep = {snap_id, os.path.basename(prev) if prev else ""}
+        for entry in os.listdir(table):
+            if entry.startswith("snapshot-") and entry not in keep:
+                shutil.rmtree(os.path.join(table, entry),
+                              ignore_errors=True)
         return manifest
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(
-            os.path.join(self._table_dir(name), "data"))
+        """Bind to the CURRENT snapshot's real (immutable) path — the
+        returned DataFrame stays valid through the next write."""
+        cur = self._current(name)
+        if cur is None:
+            raise FileNotFoundError(f"warehouse table not found: {name}")
+        return self.spark.read.parquet(os.path.join(cur, "data"))
 
     def manifest(self, name: str) -> StageManifest | None:
-        path = self._manifest_path(name)
+        cur = self._current(name)
+        if cur is None:
+            return None
+        path = os.path.join(cur, "manifest.json")
         if not os.path.exists(path):
             return None
         with open(path) as f:
@@ -145,9 +178,23 @@ class IcebergWarehouse:
     iceberg-spark-runtime jar); lineage rides Iceberg snapshot metadata
     plus a ``<table>_manifest`` side table."""
 
+    # explicit schema: inference would fail on an EMPTY stage output —
+    # partition_rows = [] has no inferable element type
+    # (CANNOT_DETERMINE_TYPE on PySpark 4.x), and a dup-free corpus
+    # legitimately checkpoints zero edges
+    MANIFEST_SCHEMA = ("stage string, fingerprint string, rows long, "
+                       "written_at double, partition_rows array<long>, "
+                       "n_partitions int, max_partition_rows long")
+
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
         self.spark = spark
         self.prefix = f"{catalog}.{namespace}"
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            raise RuntimeError(
+                f"Iceberg catalog '{catalog}' is not configured on this "
+                f"session: set spark.sql.catalog.{catalog} (and the "
+                f"iceberg-spark-runtime jar) or use the parquet warehouse "
+                f"(table_format='parquet')")
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.prefix}")
 
     def _fq(self, name: str) -> str:
@@ -164,7 +211,8 @@ class IcebergWarehouse:
                                  partition_rows=parts,
                                  n_partitions=len(parts),
                                  max_partition_rows=max(parts, default=0))
-        self.spark.createDataFrame([manifest.__dict__]) \
+        self.spark.createDataFrame([manifest.__dict__],
+                                   schema=self.MANIFEST_SCHEMA) \
             .writeTo(self._fq(name + "_manifest")).using("iceberg") \
             .createOrReplace()
         return manifest

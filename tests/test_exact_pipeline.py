@@ -198,3 +198,57 @@ def test_extract_text_preserves_unicode_forms(spark):
     for url in ("u1", "u2", "u3", "u4"):
         t, want = got[url]
         assert t == want and t.encode() == want.encode(), url
+
+
+def test_extract_text_adversarial_markup(spark):
+    """Comments with '>', CDATA sections, and '>' inside quoted
+    attribute values must strip cleanly (still byte-conservative: no
+    normalization of the surviving text)."""
+    from pyspark.sql import Row
+    from duplicate_finder_spark.functions.extraction import (
+        with_extracted_text)
+    rows = [
+        Row(url="c1", html=b"a<!-- x > y -->b", want="ab"),
+        Row(url="c2", html=b"a<!-- <div> nested > tags --->b", want="ab"),
+        Row(url="c3", html=b"<p>a</p><![CDATA[ raw > <bytes> ]]><p>b</p>",
+            want="ab"),
+        Row(url="q1", html=b'<a title="x > y">link</a>', want="link"),
+        Row(url="q2", html=b"<a title='1 > 0' href=\"z\">t</a>", want="t"),
+        Row(url="q3", html=b'<img alt="a>b" src=\'c>d\'/>x', want="x"),
+        # multi-line comment spanning newlines (DOTALL)
+        Row(url="c4", html=b"a<!--\nline1 >\nline2\n-->b", want="ab"),
+        # unterminated comment degrades to tag-strip-to-first-'>' and
+        # must NOT swallow the rest of the document
+        Row(url="c5", html=b"a<!-- no close > tail", want="a tail"),
+    ]
+    got = {r.url: (r.t, r.want) for r in
+           with_extracted_text(spark.createDataFrame(rows), out_col="t")
+           .collect()}
+    for url, (t, want) in got.items():
+        assert t == want and t.encode() == want.encode(), (url, t, want)
+
+
+def test_extract_text_invalid_utf8_policies(spark):
+    """Malformed UTF-8 must not fail the stage: default quarantines
+    (NULL row); 'replace' substitutes; 'strict' raises."""
+    import pytest
+    from pyspark.sql import Row
+    from duplicate_finder_spark.functions.extraction import (
+        with_extracted_text)
+    bad = b"<p>ok \xff\xfe broken</p>"
+    rows = [Row(url="good", html=b"<p>fine</p>"),
+            Row(url="bad", html=bad)]
+    df = spark.createDataFrame(rows)
+
+    got = {r.url: r.t for r in
+           with_extracted_text(df, out_col="t").collect()}
+    assert got["good"] == "fine"
+    assert got["bad"] is None  # quarantined, job survived
+
+    rep = {r.url: r.t for r in
+           with_extracted_text(df, out_col="t", errors="replace").collect()}
+    assert rep["bad"] == "ok �� broken"
+
+    with pytest.raises(Exception):
+        with_extracted_text(df, out_col="t", errors="strict") \
+            .collect()

@@ -91,3 +91,78 @@ def test_manifest_per_partition_lineage(spark, small_pages, tmp_path):
         assert sum(m.partition_rows) == m.rows
         assert m.max_partition_rows == max(m.partition_rows)
         assert m.skew_ratio >= 1.0
+
+
+def test_iceberg_missing_catalog_clean_error(spark):
+    """No iceberg jar/catalog in the sandbox: constructing the Iceberg
+    warehouse against an unconfigured catalog must fail with a clear,
+    actionable RuntimeError — not a raw AnalysisException."""
+    import pytest
+    from duplicate_finder_spark.warehouse import (IcebergWarehouse,
+                                                  get_warehouse)
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergWarehouse(spark, "no_such_catalog", "dedup")
+    with pytest.raises(RuntimeError, match="no_such_catalog"):
+        get_warehouse(spark, "no_such_catalog.dedup", fmt="iceberg")
+
+
+def test_parquet_snapshot_survives_concurrent_reader(spark, tmp_path):
+    """Snapshot-pointer contract: a DataFrame bound to snapshot v1 keeps
+    working through the v2 write (superseded snapshot retained), new
+    reads see v2 atomically, and v1 is GC'd only after v3."""
+    import os
+    from duplicate_finder_spark.warehouse import get_warehouse
+    wh = get_warehouse(spark, str(tmp_path / "wh"))
+
+    v1 = spark.range(10).withColumnRenamed("id", "x")
+    wh.write(v1, "t", stage="s", fingerprint="f1")
+    reader = wh.read("t")            # binds to v1's real path
+    assert reader.count() == 10
+
+    v2 = spark.range(25).withColumnRenamed("id", "x")
+    wh.write(v2, "t", stage="s", fingerprint="f2")
+    # in-flight reader still sees complete v1 data
+    assert reader.count() == 10
+    # fresh read sees v2; manifest followed the pointer
+    assert wh.read("t").count() == 25
+    assert wh.manifest("t").fingerprint == "f2"
+
+    table = str(tmp_path / "wh" / "t")
+    snaps = [e for e in os.listdir(table) if e.startswith("snapshot-")]
+    assert len(snaps) == 2           # current + one retained for readers
+
+    v3 = spark.range(3).withColumnRenamed("id", "x")
+    wh.write(v3, "t", stage="s", fingerprint="f3")
+    snaps = [e for e in os.listdir(table) if e.startswith("snapshot-")]
+    assert len(snaps) == 2           # v1 garbage-collected
+    assert wh.read("t").count() == 3
+
+
+def test_parquet_warehouse_empty_stage(spark, tmp_path):
+    """A dup-free corpus checkpoints ZERO edges: the empty stage must
+    round-trip (write, manifest, read-back) without type-inference
+    failures — the bug class the Iceberg manifest schema pins."""
+    from duplicate_finder_spark.warehouse import get_warehouse
+    wh = get_warehouse(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame([], "src string, dst string")
+    m = wh.write(empty, "edges", stage="edges", fingerprint="fp")
+    assert m.rows == 0
+    assert m.partition_rows == []
+    assert m.skew_ratio == 1.0
+    assert wh.read("edges").count() == 0
+    assert wh.manifest("edges").fingerprint == "fp"
+
+
+def test_iceberg_manifest_schema_accepts_empty_partition_rows(spark):
+    """The explicit manifest schema must type an EMPTY partition_rows
+    list (the createDataFrame failure mode on empty stages)."""
+    from duplicate_finder_spark.warehouse import (IcebergWarehouse,
+                                                  StageManifest)
+    m = StageManifest(stage="s", fingerprint="f", rows=0, written_at=0.0,
+                      partition_rows=[], n_partitions=0,
+                      max_partition_rows=0)
+    df = spark.createDataFrame([m.__dict__],
+                               schema=IcebergWarehouse.MANIFEST_SCHEMA)
+    row = df.collect()[0]
+    assert row["partition_rows"] == []
+    assert row["rows"] == 0
