@@ -1,0 +1,96 @@
+"""spark-submit entry for the full dedup pipeline (SURVEY.md §3.4):
+
+    spark-submit --py-files dist/duplicate_finder_spark.zip \\
+        jobs/dedup.py --input /path/pages_parquet \\
+        --warehouse /path/wh --config job.json
+
+Unlike the interactive CLI (duplicate_finder_spark/cli.py — the
+reference-parity lifecycle for a human at a terminal), this is the
+cluster job: non-interactive, checkpointed per stage through the
+Warehouse facade (resume-on-rerun), decisions written as a table, one
+JSON summary line on stdout for the orchestrator.
+
+Config file: JSON object of PipelineConfig field overrides
+(duplicate_finder_spark/config.py), e.g.
+``{"num_perm": 128, "lsh_bands": 32, "jaccard_threshold": 0.8}``.
+The session comes from ``SparkSession.builder.getOrCreate()`` so every
+spark-submit ``--conf`` (executors, shuffle partitions, Iceberg
+catalogs) applies untouched; only workload-semantic settings (Arrow,
+AQE) are set here as defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from duplicate_finder_spark.config import PipelineConfig
+from duplicate_finder_spark.pipeline import run_resumable
+from duplicate_finder_spark.warehouse import get_warehouse
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="dedup-job")
+    p.add_argument("--input", required=True,
+                   help="pages table: parquet path, or catalog.ns.table "
+                        "with --format iceberg")
+    p.add_argument("--warehouse", required=True,
+                   help="checkpoint warehouse root (parquet) or "
+                        "catalog.namespace (iceberg)")
+    p.add_argument("--format", choices=("parquet", "iceberg"),
+                   default="parquet")
+    p.add_argument("--config", default=None,
+                   help="JSON file of PipelineConfig overrides")
+    p.add_argument("--input-id", default=None,
+                   help="stable id for the input snapshot (stage-cache "
+                        "key); defaults to the input path")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    overrides = {}
+    if args.config:
+        with open(args.config) as f:
+            overrides = json.load(f)
+    cfg = PipelineConfig(**overrides)
+
+    spark = (SparkSession.builder
+             .appName("duplicate-finder-spark:dedup")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    try:
+        if args.format == "iceberg":
+            pages = spark.table(args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+        wh = get_warehouse(spark, args.warehouse, fmt=args.format)
+
+        t0 = time.time()
+        decisions = run_resumable(spark, pages, cfg, wh,
+                                  input_id=args.input_id or args.input)
+        manifest = wh.write(decisions, "decisions", stage="decisions",
+                            fingerprint=args.input_id or args.input)
+        wall = round(time.time() - t0, 2)
+
+        summary = {
+            "rows": manifest.rows,
+            "n_partitions": manifest.n_partitions,
+            "skew_ratio": round(manifest.skew_ratio, 3),
+            "wall_sec": wall,
+            "docs_per_sec": round(pages.count() / wall, 1) if wall else None,
+        }
+        print(json.dumps(summary))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""North-rule lifecycle evidence: the dedup job runs via real
+``spark-submit --py-files dist/duplicate_finder_spark.zip jobs/dedup.py``
+(SURVEY.md §3.4) — the engine code arrives ONLY through the zip, the
+job checkpoints stages through the warehouse, emits the JSON summary,
+and a rerun resumes from the checkpoints."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_spark_submit_pyfiles_dedup_job(spark, tmp_path: Path) -> None:
+    # input pages table from the deterministic fixture corpus
+    from duplicate_finder_spark.fixtures import (corpus_to_spark,
+                                                 generate_corpus)
+    pages, _ = corpus_to_spark(spark, generate_corpus(n_pages=400, seed=3))
+    inp = str(tmp_path / "pages")
+    pages.select("url", "text").write.parquet(inp)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps({"num_perm": 64, "lsh_bands": 16,
+                               "jaccard_threshold": 0.8}))
+    wh = str(tmp_path / "wh")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # engine must come from --py-files only
+
+    def submit() -> dict:
+        res = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", str(zip_path),
+             str(REPO / "jobs" / "dedup.py"),
+             "--input", inp, "--warehouse", wh,
+             "--config", str(cfg), "--input-id", "fixture-v1"],
+            capture_output=True, text=True, env=env,
+            cwd=str(tmp_path), timeout=420)
+        assert res.returncode == 0, res.stderr[-3000:]
+        line = [ln for ln in res.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    first = submit()
+    assert first["rows"] > 0
+    assert first["skew_ratio"] >= 1.0
+
+    # stage tables exist with per-partition lineage manifests
+    stages = [d for d in os.listdir(wh)
+              if d.startswith(("signatures_", "edges_", "clusters_"))]
+    assert len(stages) == 3
+
+    # rerun with the same input-id resumes from checkpoints and agrees
+    second = submit()
+    assert second["rows"] == first["rows"]
