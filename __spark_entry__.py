@@ -43,7 +43,8 @@ from duplicate_finder_spark.operators.events import (duplicate_events,
                                                      session_stats)
 from duplicate_finder_spark.operators.lcs import lcs_verify
 from duplicate_finder_spark.operators.substring import containment_pairs
-from duplicate_finder_spark.operators.jaccard import ngram_jaccard_pairs
+from duplicate_finder_spark.operators.jaccard import (df_cut_stats,
+                                                      ngram_jaccard_pairs)
 from duplicate_finder_spark.operators.lsh import candidate_pairs, verify_pairs
 from duplicate_finder_spark.operators.minhash import signatures
 from duplicate_finder_spark.operators.multimodal import (binary_meta,
@@ -243,6 +244,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return pairs.select(F.col("id_a").alias("doc_id_a"),
                         F.col("id_b").alias("doc_id_b"),
                         F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ngram_df_cut_stats(spark, sf_dir):
+    """The df-cut's audit log as an oracled query: distinct shingles,
+    how many the default cut would drop, and the hottest shingle's
+    document frequency — the skew evidence logged alongside
+    ngram_jaccard_pairs runs."""
+    return df_cut_stats(_docs(spark, sf_dir), k=3, max_doc_freq=1000)
 
 
 def _verified_near_dup_pairs(spark, sf_dir):
@@ -512,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_df_cut_stats": q_ngram_df_cut_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cc_clusters": q_cc_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -760,6 +770,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, {lang_case} AS lang_guess FROM documents
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # distinct-hash counts equal distinct-string counts up to the
+        # same ~2^-64 collision mass as the jaccard oracle
+        "ngram_df_cut_stats": _SHINGLES + """
+          , df AS (SELECT s, count(*) AS cnt FROM sh GROUP BY s)
+          SELECT count(*)::BIGINT AS n_distinct_shingles,
+                 sum((cnt > 1000)::INT)::BIGINT AS dropped_shingles,
+                 max(cnt)::BIGINT AS max_doc_freq_seen
+          FROM df
+        """,
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
         "cc_clusters": _SHINGLES.replace(
             "WITH toksrc", "WITH RECURSIVE toksrc", 1) + f"""

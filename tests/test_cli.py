@@ -96,3 +96,24 @@ def test_interactive_reprompt_and_keep_choice(tmp_path: Path) -> None:
     assert not (tmp_path / "a.txt").exists()
     assert (tmp_path / "b.txt").exists()
     assert "Total deleted interactively: 1" in result.stdout
+
+
+def test_parquet_mode_survivor_rewrite(spark, tmp_path: Path) -> None:
+    """--format parquet: the web-scale path — dedups a pages table and
+    writes survivors to <folder>__dedup instead of mutating input."""
+    rows = [("u1", "same text"), ("u2", "same text"), ("u3", "unique")]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string") \
+        .write.parquet(src)
+
+    result = run_cli(src, "--format", "parquet", "--delete",
+                     "--threads", "2", input_text="y\n")
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Duplicate files" in result.stdout
+    assert "Deleted: u2" in result.stdout
+    assert f"Survivors written to: {src}__dedup" in result.stdout
+
+    out = spark.read.parquet(src + "__dedup")
+    assert sorted(r["url"] for r in out.collect()) == ["u1", "u3"]
+    # input untouched
+    assert spark.read.parquet(src).count() == 3
