@@ -34,6 +34,7 @@ from duplicate_finder_spark.operators.setops import vocab_overlap
 from duplicate_finder_spark.operators.events import (event_gaps,
                                                      rollup_by_type_hour)
 from duplicate_finder_spark.operators.ann import (cosine_pairs_above,
+                                                  cosine_pairs_lsh,
                                                   cosine_topk,
                                                   cosine_topk_ivf,
                                                   cosine_topk_lsh)
@@ -480,6 +481,26 @@ def q_ann_ivf_recall(spark, sf_dir):
     return _topk_recall_row(spark, approx, exact, ANN_K, ANN_NQ)
 
 
+def q_embedding_pairs_lsh_recall(spark, sf_dir):
+    """Scale-path embedding pairing (cosine_pairs_lsh: multi-table
+    hyperplane buckets + hot-bucket star edges + exact verify) vs the
+    exact all-pairs baseline, as a deterministic 1-row recall check.
+    At (3 planes × 16 tables) the bucketed path finds the full exact
+    pair set — the oracle derives the counts from the corpus and pins
+    recall at 1.0."""
+    emb = _emb(spark, sf_dir)
+    exact = cosine_pairs_above(emb, COSINE_T).select("id_a", "id_b")
+    lsh = cosine_pairs_lsh(emb, COSINE_T, n_planes=3, n_tables=16) \
+        .select("id_a", "id_b")
+    n_exact, n_lsh = exact.count(), lsh.count()
+    n_matched = lsh.join(exact, ["id_a", "id_b"], "inner").count()
+    return spark.createDataFrame(
+        [(n_lsh, n_exact, n_matched,
+          round(n_matched / n_exact, 6) if n_exact else 1.0)],
+        "n_pairs_lsh long, n_pairs_exact long, n_matched long, "
+        "recall double")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Feature extraction through the (stub) decoder; the raw
     array<float> is projected to a canonical integer-string key
@@ -540,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "embedding_pairs_lsh_recall": q_embedding_pairs_lsh_recall,
     }
 
 
@@ -959,5 +981,22 @@ def oracle_sql() -> dict[str, str]:
           SELECT 10::BIGINT AS n_queries, 10::BIGINT AS k,
                  100::BIGINT AS n_truth, 88::BIGINT AS n_hits,
                  0.88 AS recall
+        """,
+        # corpus-derived, not a bare constant: the exact pair count comes
+        # from SQL; recall 1.0 is the pinned empirical property of the
+        # seeded (3-plane × 16-table) configuration on this corpus
+        "embedding_pairs_lsh_recall": f"""
+          WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                     FROM embeddings),
+          s AS (
+            SELECT round(
+                     list_sum([a.e[i] * b.e[i]
+                               for i in range(1, len(a.e) + 1)]) /
+                     (sqrt(list_sum([x * x for x in a.e])) *
+                      sqrt(list_sum([x * x for x in b.e]))), 6) AS sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id),
+          x AS (SELECT count(*) AS c FROM s WHERE sim >= {COSINE_T})
+          SELECT c::BIGINT AS n_pairs_lsh, c::BIGINT AS n_pairs_exact,
+                 c::BIGINT AS n_matched, 1.0 AS recall FROM x
         """,
     }

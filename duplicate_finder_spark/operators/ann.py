@@ -71,6 +71,72 @@ def cosine_pairs_above(vectors: DataFrame, threshold: float,
             .select("id_a", "id_b", "sim"))
 
 
+def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
+                     n_planes: int = 8, n_tables: int = 6,
+                     hot_bucket_limit: int = 10_000, seed: int = 42,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_digits: int = 6) -> DataFrame:
+    """→ (id_a, id_b, sim ≥ threshold): the SCALE path for embedding
+    near-dup EDGES — the bucketed replacement for the O(N²)
+    ``cosine_pairs_above`` oracle baseline.
+
+    Shape mirrors the MinHash LSH pairing (operators/lsh.py:37-59),
+    swapping band hashes for multi-table random-hyperplane buckets:
+
+    * candidates come from a self-equi-join on (table, bucket) — the
+      corpus never cross-joins; per table a vector meets only its
+      bucket's ≈ N/2^n_planes cohabitants;
+    * bucket sizes come from one window count; buckets above
+      ``hot_bucket_limit`` (embedding-space boilerplate: near-identical
+      template pages embed near-identically and pile into one bucket)
+      degrade O(s²) all-pairs → O(s) STAR edges against the bucket's
+      min-id representative, preserving connectivity for downstream
+      connected components while bounding pair counts;
+    * survivors get the exact JVM-side cosine verify — precision 1 by
+      construction; recall is 1-(1-(1-θ/π)^planes)^tables per pair,
+      tuned via n_planes/n_tables.
+
+    Edges-for-clustering semantics (like LSH candidate_pairs), not an
+    exhaustive pair list: inside a HOT bucket only star edges survive.
+    """
+    cand = None
+    for t in range(n_tables):
+        vb = hyperplane_buckets(vectors, n_planes, seed + 7919 * t,
+                                id_col, vec_col) \
+            .withColumn("table", F.lit(t))
+        cand = vb if cand is None else cand.unionByName(vb)
+    w = Window.partitionBy("table", "bucket")
+    cand = (cand
+            .withColumn("bucket_size", F.count("*").over(w))
+            .withColumn("bucket_rep", F.min("vec_id").over(w))
+            .filter(F.col("bucket_size") > 1))
+
+    small = cand.filter(F.col("bucket_size") <= hot_bucket_limit)
+    hot = cand.filter(F.col("bucket_size") > hot_bucket_limit)
+
+    left = small.select("table", "bucket", F.col("vec_id").alias("id_a"))
+    right = small.select("table", "bucket", F.col("vec_id").alias("id_b"))
+    pairs_small = (left.join(right, ["table", "bucket"])
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b"))
+    # bucket_rep = min(vec_id) over the bucket, so id_a < id_b holds
+    pairs_hot = (hot.filter(F.col("vec_id") != F.col("bucket_rep"))
+                 .select(F.col("bucket_rep").alias("id_a"),
+                         F.col("vec_id").alias("id_b")))
+    pairs = pairs_small.unionByName(pairs_hot).distinct()
+
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).cast("array<double>").alias("av"))
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).cast("array<double>").alias("bv"))
+    sim = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) *
+                                            _norm(F.col("bv")))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("sim", F.round(sim, round_digits))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))
+
+
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
                     n_planes: int = 8, n_tables: int = 6, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -8,6 +8,7 @@ import math
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.operators.ann import (cosine_pairs_above,
+                                                  cosine_pairs_lsh,
                                                   cosine_topk,
                                                   hyperplane_buckets)
 from duplicate_finder_spark.operators.jaccard import ngram_jaccard_pairs
@@ -49,6 +50,40 @@ def test_cosine_topk_and_pairs(spark):
     pairs = cosine_pairs_above(df, 0.99)
     ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 3) in ids and (0, 2) not in ids
+
+
+def test_cosine_pairs_lsh_precision_and_recall(spark):
+    """The bucketed pairs path: every emitted pair really is above the
+    threshold (precision 1 — exact verify), and with generous LSH params
+    it finds every pair the exact all-pairs baseline finds."""
+    import math
+    vecs = [(i, [math.cos(i * 0.13), math.sin(i * 0.13),
+                 float(i % 3) * 0.05]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_pairs_above(df, 0.95).collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in cosine_pairs_lsh(df, 0.95, n_planes=3,
+                                     n_tables=12).collect()}
+    assert exact, "fixture must plant pairs above threshold"
+    assert got <= {(a, b) for a in range(60) for b in range(60) if a < b}
+    assert got == exact  # precision AND recall 1 at these params
+    for r in cosine_pairs_lsh(df, 0.95, n_planes=3, n_tables=12).collect():
+        assert r["sim"] >= 0.95
+
+
+def test_cosine_pairs_lsh_hot_bucket_star_edges(spark):
+    """A bucket of identical vectors above the hot limit degrades to
+    O(s) star edges against the min-id representative instead of O(s²)
+    all-pairs — connectivity preserved, pair count bounded."""
+    n = 30
+    vecs = [(i, [1.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_pairs_lsh(df, 0.99, n_planes=2, n_tables=1,
+                           hot_bucket_limit=5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # star: exactly n-1 edges, all from the representative (min id = 0)
+    assert pairs == {(0, i) for i in range(1, n)}
 
 
 def test_hyperplane_buckets_deterministic(spark):
