@@ -55,8 +55,9 @@ def cosine_pairs_above(vectors: DataFrame, threshold: float,
                        round_digits: int = 6) -> DataFrame:
     """→ (id_a, id_b, sim ≥ threshold): embedding near-dup pairs.
 
-    All-pairs — exact but O(N²); for web scale, pre-bucket with
-    ``hyperplane_buckets`` and run this within buckets.
+    All-pairs — exact but O(N²): this is the ORACLE BASELINE, kept only
+    to pin the scale path's recall. For web scale use
+    ``cosine_pairs_lsh`` (bucketed, hot-bucket-capped, same verify).
     """
     a = vectors.select(F.col(id_col).alias("id_a"),
                        F.col(vec_col).cast("array<double>").alias("av"))
