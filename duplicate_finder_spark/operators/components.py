@@ -64,11 +64,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(src, dst) undirected → assignments (url, cluster_id) where
     cluster_id is the component's minimum url. Every node appearing in an
     edge gets a row (representatives map to themselves)."""
+    # eager=False: the checkpoint materializes inside the SAME job as the
+    # round's convergence checksum — one driver round-trip per round, not
+    # two (job-submission latency is pure fixed cost that the wide config
+    # can't parallelize away, so halving it helps N→4N efficiency)
     e = (edges.filter(F.col("src") != F.col("dst"))
-         .select("src", "dst").distinct().localCheckpoint())
+         .select("src", "dst").distinct().localCheckpoint(eager=False))
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break
