@@ -34,7 +34,16 @@ from duplicate_finder_spark.operators import exact as ex  # noqa: E402
 DATA = "/root/repo/var/bench_pages.parquet"
 
 
+def data_path(n_rows: int) -> str:
+    # the original 1M corpus predates size-parameterized paths
+    if n_rows == 1_000_000:
+        return DATA
+    return f"/root/repo/var/bench_pages_{n_rows}.parquet"
+
+
 def ensure_data(n_rows: int) -> None:
+    global DATA
+    DATA = data_path(n_rows)
     if os.path.exists(os.path.join(DATA, "_SUCCESS")):
         return
     from duplicate_finder_spark.benchgen import generate_pages
