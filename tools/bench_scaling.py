@@ -147,6 +147,35 @@ def _burn(n: int) -> int:
     return s
 
 
+def mem_bw_ceiling() -> float:
+    """Measured memory-BANDWIDTH 8→32-worker scaling efficiency — the
+    busy-loop ceiling above is register-bound, but Arrow/pandas UDF work
+    streams memory; on a shared-socket box the bus saturates well before
+    32 cores (measured 0.20–0.43 on this host, vs ~0.6 compute), so a
+    memory-heavy pipeline phase cannot scale past THIS number no matter
+    how it is partitioned."""
+    import multiprocessing as mp
+
+    def _run(workers: int) -> float:
+        t0 = time.time()
+        with mp.Pool(workers) as p:
+            p.map(_burn_mem, [40] * 64)
+        return time.time() - t0
+
+    t8, t32 = _run(8), _run(32)
+    return round((t8 / t32) / 4.0, 3)
+
+
+def _burn_mem(n: int) -> float:
+    import numpy as np
+    a = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MiB > L3
+    s = 0.0
+    for _ in range(n):
+        s += float(a.sum())
+        a *= 1.0000001
+    return s
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     variant = sys.argv[2] if len(sys.argv) > 2 else "persist"
