@@ -9,12 +9,14 @@ but every data-touching stage is the distributed DataFrame path:
 ``binaryFile`` scan → filters → size semi-join prefilter → sha2 group →
 clusters. The driver only ever handles the tiny duplicate-group tail.
 
-Two input kinds:
+Three input kinds:
 * ``--format files`` (default): real parity — walks a directory of
   actual files through Spark's binaryFile source; deletion unlinks.
 * ``--format parquet``: the web-scale path — a pages table (url, text);
   "deletion" rewrites survivors to ``<folder>__dedup`` (never mutates
   the input in place).
+* ``--format warc``: Common-Crawl-style archives (sources/warc.py),
+  text extracted on the fly; survivors rewrite like parquet mode.
 """
 
 from __future__ import annotations
@@ -34,9 +36,16 @@ from duplicate_finder_spark.session import get_spark
 def load_pages(spark: SparkSession, folder: str, fmt: str) -> DataFrame:
     """folder → (url, text) DataFrame. 'files' = binaryFile walk (S1:
     recursive, symlink-free — Hadoop's globber does not follow dangling
-    links); 'parquet' = pages table."""
+    links); 'parquet' = pages table; 'warc' = Common-Crawl-style
+    archives (sources/warc.py) with text extracted on the fly."""
     if fmt == "parquet":
         return spark.read.parquet(folder)
+    if fmt == "warc":
+        from duplicate_finder_spark.functions.extraction import (
+            with_extracted_text)
+        from duplicate_finder_spark.sources.warc import read_warc
+        return with_extracted_text(read_warc(spark, folder)) \
+            .select("url", "text")
     raw = (spark.read.format("binaryFile")
            .option("recursiveFileLookup", "true")
            .load(folder))

@@ -117,11 +117,12 @@ class ArgumentParserAdapter:
         # --- engine-only flags (no reference counterpart) -------------------
         p.add_argument(
             "--format",
-            choices=("files", "parquet"),
+            choices=("files", "parquet", "warc"),
             default="files",
             help="Input kind: 'files' walks folder_path as real files"
                  " (Spark binaryFile source); 'parquet' reads a pages"
-                 " table (url, text) — the web-scale path",
+                 " table (url, text) — the web-scale path; 'warc' reads"
+                 " Common-Crawl-style web archives (.warc / .warc.gz)",
         )
         p.add_argument(
             "--master",

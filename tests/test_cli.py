@@ -98,6 +98,31 @@ def test_interactive_reprompt_and_keep_choice(tmp_path: Path) -> None:
     assert "Total deleted interactively: 1" in result.stdout
 
 
+def test_warc_mode_dedup(spark, tmp_path: Path) -> None:
+    """--format warc: Common-Crawl-style ingestion — text is extracted
+    from the archives' html and deduped; survivors land in parquet."""
+    from tests.test_sources_warc import _response
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    html = b"<html><body>same text</body></html>"
+    (seg / "a.warc").write_bytes(
+        _response(b"http://a.example/", html)
+        + _response(b"http://b.example/", html))
+    (seg / "b.warc").write_bytes(
+        _response(b"http://c.example/", b"<html>unique</html>"))
+
+    result = run_cli(str(seg), "--format", "warc", "--delete",
+                     "--threads", "2", input_text="y\n")
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Duplicate files" in result.stdout
+    assert "Deleted: http://b.example/" in result.stdout
+
+    out = spark.read.parquet(str(seg) + "__dedup")
+    assert sorted(r["url"] for r in out.collect()) == [
+        "http://a.example/", "http://c.example/"]
+
+
 def test_parquet_mode_survivor_rewrite(spark, tmp_path: Path) -> None:
     """--format parquet: the web-scale path — dedups a pages table and
     writes survivors to <folder>__dedup instead of mutating input."""
