@@ -78,11 +78,19 @@ class ParquetWarehouse:
     — there is no instant at which a reader can observe a missing or
     partial table. The superseded snapshot survives one write so
     DataFrames already bound to it (Spark resolves the real path at
-    plan time) finish their jobs; older snapshots are GC'd."""
+    plan time) finish their jobs; snapshots beyond ``retain`` are GC'd.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Iceberg-parity surface: ``history`` ≙ the snapshot log,
+    ``read(name, snapshot_id=...)`` ≙ ``VERSION AS OF`` time travel,
+    ``retain`` ≙ snapshot expiration policy."""
+
+    def __init__(self, spark: SparkSession, root: str, retain: int = 2):
+        if retain < 2:
+            raise ValueError("retain must be >= 2: the superseded "
+                             "snapshot must survive for in-flight readers")
         self.spark = spark
         self.root = root
+        self.retain = retain
         os.makedirs(root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
@@ -118,27 +126,60 @@ class ParquetWarehouse:
                                  max_partition_rows=max(parts, default=0))
         with open(os.path.join(snap, "manifest.json"), "w") as f:
             json.dump(manifest.__dict__, f)
-        prev = self._current(name)
         # atomic pointer swap: build the link aside, replace over it
         tmp_link = os.path.join(table, ".current-" + uuid.uuid4().hex[:8])
         os.symlink(snap_id, tmp_link)
         os.replace(tmp_link, os.path.join(table, "current"))
-        # GC: keep the immediately superseded snapshot for in-flight
-        # readers; drop anything older
-        keep = {snap_id, os.path.basename(prev) if prev else ""}
-        for entry in os.listdir(table):
-            if entry.startswith("snapshot-") and entry not in keep:
-                shutil.rmtree(os.path.join(table, entry),
-                              ignore_errors=True)
+        # GC (snapshot expiration): keep the newest ``retain`` snapshots
+        # — the immediately superseded one always survives (retain >= 2)
+        # so in-flight readers bound to its real path finish their jobs
+        snaps = sorted(
+            (e for e in os.listdir(table) if e.startswith("snapshot-")),
+            key=lambda e: os.path.getmtime(os.path.join(table, e)),
+            reverse=True)
+        for entry in snaps[self.retain:]:
+            shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
         return manifest
 
-    def read(self, name: str) -> DataFrame:
-        """Bind to the CURRENT snapshot's real (immutable) path — the
-        returned DataFrame stays valid through the next write."""
+    def read(self, name: str, snapshot_id: str | None = None) -> DataFrame:
+        """Bind to a snapshot's real (immutable) path — the returned
+        DataFrame stays valid through the next write. ``snapshot_id``
+        (from ``history``) time-travels to a retained older snapshot
+        (Iceberg ``VERSION AS OF``)."""
+        if snapshot_id is not None:
+            snap = os.path.join(self._table_dir(name), snapshot_id)
+            if not os.path.isdir(snap):
+                raise FileNotFoundError(
+                    f"snapshot not retained: {name}/{snapshot_id} "
+                    f"(retain={self.retain})")
+            return self.spark.read.parquet(os.path.join(snap, "data"))
         cur = self._current(name)
         if cur is None:
             raise FileNotFoundError(f"warehouse table not found: {name}")
         return self.spark.read.parquet(os.path.join(cur, "data"))
+
+    def history(self, name: str) -> list[dict]:
+        """Snapshot log, newest first: [{snapshot_id, is_current, stage,
+        fingerprint, rows, written_at}] — the retained tail of the
+        table's write history (Iceberg snapshot-log parity)."""
+        table = self._table_dir(name)
+        if not os.path.isdir(table):
+            return []
+        cur = self._current(name)
+        out = []
+        for entry in os.listdir(table):
+            mpath = os.path.join(table, entry, "manifest.json")
+            if not entry.startswith("snapshot-") \
+                    or not os.path.exists(mpath):
+                continue
+            with open(mpath) as f:
+                m = json.load(f)
+            out.append({"snapshot_id": entry,
+                        "is_current": os.path.join(table, entry) == cur,
+                        "stage": m["stage"],
+                        "fingerprint": m["fingerprint"],
+                        "rows": m["rows"], "written_at": m["written_at"]})
+        return sorted(out, key=lambda d: d["written_at"], reverse=True)
 
     def manifest(self, name: str) -> StageManifest | None:
         cur = self._current(name)

@@ -138,6 +138,34 @@ def test_parquet_snapshot_survives_concurrent_reader(spark, tmp_path):
     assert wh.read("t").count() == 3
 
 
+def test_warehouse_time_travel_and_retention(spark, tmp_path):
+    """Iceberg-parity surface: history() is the snapshot log,
+    read(snapshot_id=...) time-travels to a retained snapshot, and
+    retain bounds the kept tail."""
+    import pytest
+
+    from duplicate_finder_spark.warehouse import ParquetWarehouse
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"), retain=3)
+    for i, fp in enumerate(("f1", "f2", "f3"), start=1):
+        wh.write(spark.range(i).withColumnRenamed("id", "x"),
+                 "t", stage="s", fingerprint=fp)
+    hist = wh.history("t")
+    assert [h["fingerprint"] for h in hist] == ["f3", "f2", "f1"]
+    assert [h["rows"] for h in hist] == [3, 2, 1]
+    assert hist[0]["is_current"] and not hist[1]["is_current"]
+    # time travel to the oldest retained snapshot
+    assert wh.read("t", snapshot_id=hist[2]["snapshot_id"]).count() == 1
+    # a 4th write expires f1 (retain=3)
+    wh.write(spark.range(4).withColumnRenamed("id", "x"),
+             "t", stage="s", fingerprint="f4")
+    hist2 = wh.history("t")
+    assert [h["fingerprint"] for h in hist2] == ["f4", "f3", "f2"]
+    with pytest.raises(FileNotFoundError):
+        wh.read("t", snapshot_id=hist[2]["snapshot_id"])
+    with pytest.raises(ValueError):
+        ParquetWarehouse(spark, str(tmp_path / "wh2"), retain=1)
+
+
 def test_parquet_warehouse_empty_stage(spark, tmp_path):
     """A dup-free corpus checkpoints ZERO edges: the empty stage must
     round-trip (write, manifest, read-back) without type-inference
