@@ -117,6 +117,68 @@ def test_multimodal_meta_and_features(spark):
         [round(x, 5) for x in expected]
 
 
+def _tiny_bmp() -> bytes:
+    """2x2 uncompressed 24-bit BMP, bottom-up: top row red,green;
+    bottom row blue,white."""
+    import struct
+    # rows stored bottom-up, BGR, padded to 4 bytes (2*3=6 -> pad 2)
+    row_bottom = bytes([255, 0, 0,  255, 255, 255]) + b"\x00\x00"  # blue,white
+    row_top = bytes([0, 0, 255,  0, 255, 0]) + b"\x00\x00"         # red,green
+    pixels = row_bottom + row_top
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                       len(pixels), 0, 0, 0, 0)
+    return header + info + pixels
+
+
+def test_decode_image_real_formats():
+    import numpy as np
+    from duplicate_finder_spark.operators.multimodal import (decode_image,
+                                                             encode_ppm,
+                                                             image_feature,
+                                                             resize_image)
+    img = decode_image(_tiny_bmp())
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]      # red (BGR flipped)
+    assert img[0, 1].tolist() == [0, 255, 0]      # green
+    assert img[1, 0].tolist() == [0, 0, 255]      # blue
+    assert img[1, 1].tolist() == [255, 255, 255]  # white
+    # PPM round-trip through the encoder
+    assert (decode_image(encode_ppm(img)) == img).all()
+    # feature: normalized dims + channel stats, deterministic
+    f = image_feature(img)
+    assert len(f) == 8 and f[0] == f[1] == round(2 / 4096.0, 6)
+    assert f[2] == round((255 + 0 + 0 + 255) / 4 / 255.0, 6)  # mean R
+    # codec formats stay None (stub path)
+    assert decode_image(b"\x89PNG\r\n\x1a\n....") is None
+    assert decode_image(b"\xff\xd8\xff\xe0jfif") is None
+    # real resize: 2x2 -> 1x1 nearest neighbor picks the top-left pixel
+    thumb = decode_image(resize_image(_tiny_bmp(), 1, 1))
+    assert thumb.shape == (1, 1, 3) and thumb[0, 0].tolist() == [255, 0, 0]
+    assert np is not None
+
+
+def test_extract_features_real_vs_stub_paths(spark):
+    """A decodable BMP payload gets pixel statistics; an opaque payload
+    falls back to the sha-derived stub — same 8-dim shape either way."""
+    from pyspark.sql import Row
+    from duplicate_finder_spark.operators.multimodal import image_feature
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, payload=_tiny_bmp()),
+        Row(doc_id=2, payload=b"not an image"),
+    ])
+    feats = {r["doc_id"]: list(r["feature"]) for r in
+             extract_features(docs).collect()}
+    from duplicate_finder_spark.operators.multimodal import decode_image
+    want_real = image_feature(decode_image(_tiny_bmp()))
+    assert [round(x, 5) for x in feats[1]] == \
+        [round(x, 5) for x in want_real]
+    want_stub = decode_stub(b"not an image")
+    assert [round(x, 5) for x in feats[2]] == \
+        [round(x, 5) for x in want_stub]
+
+
 def test_decode_stub_contract():
     assert len(decode_stub(b"x", "audio")) == 8
     assert decode_stub(b"x") == decode_stub(b"x")
