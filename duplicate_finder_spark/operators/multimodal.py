@@ -119,6 +119,60 @@ def _decode_bmp(b: bytes) -> np.ndarray | None:
     return img[..., ::-1]  # BGR → RGB
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL decode for container-free audio: RIFF/WAVE with 8- or 16-bit
+    integer PCM → (samples float64 in [-1, 1] mono-mixed, sample_rate),
+    in pure numpy. None for compressed codecs (mp3/aac/…)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
+                return None  # non-PCM needs a codec
+            fmt = (channels, rate, bits)
+        elif cid == b"data" and fmt is not None:
+            channels, rate, bits = fmt
+            if bits == 16:
+                raw = np.frombuffer(body, dtype="<i2",
+                                    count=len(body) // 2)
+                samples = raw.astype(np.float64) / 32768.0
+            else:
+                raw = np.frombuffer(body, dtype=np.uint8)
+                samples = (raw.astype(np.float64) - 128.0) / 128.0
+            usable = (samples.size // channels) * channels
+            mono = samples[:usable].reshape(-1, channels).mean(axis=1)
+            return mono, rate
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    return None
+
+
+def audio_feature(samples: np.ndarray, rate: int) -> list[float]:
+    """Deterministic 8-dim feature from decoded PCM: duration, rms,
+    peak, zero-crossing rate, and 4-band coarse energy split — the same
+    shape the stub emits."""
+    if samples.size == 0:
+        return [0.0] * 8
+    dur = samples.size / rate
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    peak = float(np.max(np.abs(samples)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(
+        np.int8)))))
+    quarters = np.array_split(samples, 4)
+    band = [float(np.sqrt(np.mean(q ** 2))) if q.size else 0.0
+            for q in quarters]
+    return [round(v, 6) for v in (min(dur / 3600.0, 1.0), rms, peak,
+                                  zcr, *band)]
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
     """REAL decode for container-free raster formats — PPM P6 and
     uncompressed 24-bit BMP — in pure numpy (no codec libraries).
@@ -155,9 +209,15 @@ def extract_features(df: DataFrame, modality: str = "image",
     id_name, bin_name = id_col, bin_col
 
     def feat(b: bytes) -> list[float]:
-        img = decode_image(b) if modality == "image" else None
-        return image_feature(img) if img is not None \
-            else decode_stub(b, modality)
+        if modality == "image":
+            img = decode_image(b)
+            if img is not None:
+                return image_feature(img)
+        elif modality == "audio":
+            wav = decode_wav(b)
+            if wav is not None:
+                return audio_feature(*wav)
+        return decode_stub(b, modality)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

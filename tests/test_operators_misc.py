@@ -158,6 +158,37 @@ def test_decode_image_real_formats():
     assert np is not None
 
 
+def _tiny_wav(bits: int = 16) -> bytes:
+    """1-channel PCM WAV, 8 samples at 8 kHz: a full-scale square wave."""
+    import struct
+    if bits == 16:
+        data = struct.pack("<8h", *([32767, -32768] * 4))
+    else:
+        data = bytes([255, 0] * 4)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * bits // 8,
+                      bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_wav_real_format():
+    from duplicate_finder_spark.operators.multimodal import (audio_feature,
+                                                             decode_wav)
+    samples, rate = decode_wav(_tiny_wav())
+    assert rate == 8000 and samples.shape == (8,)
+    assert abs(samples[0] - 32767 / 32768) < 1e-6 and samples[1] == -1.0
+    f = audio_feature(samples, rate)
+    assert len(f) == 8
+    assert abs(f[1] - 1.0) < 0.01   # rms of full-scale square ~ 1
+    assert f[2] == 1.0              # peak
+    # 8-bit variant decodes too; compressed formats stay None
+    s8, _ = decode_wav(_tiny_wav(bits=8))
+    assert abs(s8[0] - 127 / 128) < 1e-6
+    assert decode_wav(b"ID3\x03mp3data") is None
+    assert decode_wav(b"RIFF\x00\x00\x00\x00AVI ") is None
+
+
 def test_extract_features_real_vs_stub_paths(spark):
     """A decodable BMP payload gets pixel statistics; an opaque payload
     falls back to the sha-derived stub — same 8-dim shape either way."""
@@ -177,6 +208,15 @@ def test_extract_features_real_vs_stub_paths(spark):
     want_stub = decode_stub(b"not an image")
     assert [round(x, 5) for x in feats[2]] == \
         [round(x, 5) for x in want_stub]
+    # audio modality: WAV payload takes the real PCM path
+    from duplicate_finder_spark.operators.multimodal import (audio_feature,
+                                                             decode_wav)
+    audio_docs = spark.createDataFrame([Row(doc_id=3, payload=_tiny_wav())])
+    af = list(extract_features(audio_docs, modality="audio")
+              .collect()[0]["feature"])
+    # feature column is array<float> (float32): compare at 4 digits
+    assert [round(x, 4) for x in af] == \
+        [round(x, 4) for x in audio_feature(*decode_wav(_tiny_wav()))]
 
 
 def test_decode_stub_contract():
