@@ -136,8 +136,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
-                return None  # non-PCM needs a codec
+            if audio_fmt != 1 or channels < 1 or bits not in (8, 16) \
+                    or rate <= 0:
+                return None  # non-PCM (or corrupt header) needs a codec
             fmt = (channels, rate, bits)
         elif cid == b"data" and fmt is not None:
             channels, rate, bits = fmt

@@ -102,6 +102,26 @@ def test_text_features_stay_jvm_side(parquet_pages):
     assert "* Project" in plan
 
 
+def test_cosine_pairs_lsh_never_cross_joins(spark):
+    """The bucketed embedding-pairs scale path must plan as equi-joins
+    on (table, bucket) — no cartesian/nested-loop join anywhere, unlike
+    its O(N²) oracle baseline cosine_pairs_above."""
+    from duplicate_finder_spark.operators.ann import (cosine_pairs_above,
+                                                      cosine_pairs_lsh)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    plan = _plan(cosine_pairs_lsh(emb, 0.9, n_planes=3, n_tables=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    # the baseline IS the cross join (fenced as oracle-only)
+    baseline = _plan(cosine_pairs_above(emb, 0.9))
+    assert "CartesianProduct" in baseline \
+        or "BroadcastNestedLoopJoin" in baseline
+
+
 def test_no_row_python_anywhere_in_contract(spark):
     """Global input_hint invariant: every driver-contract query plans its
     Python (if any) as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas

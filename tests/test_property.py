@@ -110,3 +110,50 @@ def test_exact_grouping_law(texts):
     # duplicates ⟺ text occurs more than once
     for i, t in enumerate(texts):
         assert (i in dup_idx) == (texts.count(t) > 1)
+
+
+# --- container-free media decode round-trips --------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 8), st.data())
+def test_ppm_roundtrip_exact(w, h, data):
+    """encode_ppm → decode_image is the identity on any uint8 image."""
+    from duplicate_finder_spark.operators.multimodal import (decode_image,
+                                                             encode_ppm)
+    px = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                            max_size=w * h * 3))
+    img = np.array(px, dtype=np.uint8).reshape(h, w, 3)
+    out = decode_image(encode_ppm(img))
+    assert out is not None and (out == img).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_exact(samples, rate):
+    """A synthesized 16-bit mono PCM WAV decodes to the exact samples
+    (scaled) at the exact rate."""
+    import struct
+
+    from duplicate_finder_spark.operators.multimodal import decode_wav
+    pcm = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    out, got_rate = decode_wav(wav)
+    assert got_rate == rate
+    assert np.allclose(out, np.array(samples) / 32768.0)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=200))
+def test_decoders_never_raise_on_garbage(payload):
+    """F6 posture: arbitrary bytes must decode to None or a valid value,
+    never raise — a corrupt payload cannot fail the task."""
+    from duplicate_finder_spark.operators.multimodal import (decode_image,
+                                                             decode_wav)
+    img = decode_image(payload)
+    assert img is None or img.ndim == 3
+    wav = decode_wav(payload)
+    assert wav is None or (wav[0].ndim == 1 and wav[1] > 0)
