@@ -36,12 +36,13 @@ from duplicate_finder_spark.warehouse import get_warehouse
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="dedup-job")
     p.add_argument("--input", required=True,
-                   help="pages table: parquet path, or catalog.ns.table "
-                        "with --format iceberg")
+                   help="pages table: parquet path, catalog.ns.table "
+                        "with --format iceberg, or a directory of "
+                        ".warc/.warc.gz segments with --format warc")
     p.add_argument("--warehouse", required=True,
                    help="checkpoint warehouse root (parquet) or "
                         "catalog.namespace (iceberg)")
-    p.add_argument("--format", choices=("parquet", "iceberg"),
+    p.add_argument("--format", choices=("parquet", "iceberg", "warc"),
                    default="parquet")
     p.add_argument("--config", default=None,
                    help="JSON file of PipelineConfig overrides")
@@ -68,9 +69,16 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.format == "iceberg":
             pages = spark.table(args.input)
+        elif args.format == "warc":
+            from duplicate_finder_spark.functions.extraction import (
+                with_extracted_text)
+            from duplicate_finder_spark.sources.warc import read_warc
+            pages = with_extracted_text(read_warc(spark, args.input))
         else:
             pages = spark.read.parquet(args.input)
-        wh = get_warehouse(spark, args.warehouse, fmt=args.format)
+        wh = get_warehouse(
+            spark, args.warehouse,
+            fmt="parquet" if args.format == "warc" else args.format)
 
         t0 = time.time()
         decisions = run_resumable(spark, pages, cfg, wh,

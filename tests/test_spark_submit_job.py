@@ -68,3 +68,55 @@ def test_spark_submit_pyfiles_dedup_job(spark, tmp_path: Path) -> None:
     # rerun with the same input-id resumes from checkpoints and agrees
     second = submit()
     assert second["rows"] == first["rows"]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_spark_submit_warc_input(spark, tmp_path: Path) -> None:
+    """--format warc: the cluster job ingests Common-Crawl-style
+    segments directly — archives → extract_text → dedup decisions."""
+    import gzip
+
+    from tests.test_sources_warc import _response
+
+    segs = tmp_path / "segs"
+    segs.mkdir()
+    html = b"<html><body>duplicate body</body></html>"
+    (segs / "s0.warc").write_bytes(
+        _response(b"http://a.example/", html)
+        + _response(b"http://b.example/", html))
+    (segs / "s1.warc.gz").write_bytes(
+        gzip.compress(_response(b"http://c.example/",
+                                b"<html>distinct</html>")))
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps({"num_perm": 32, "lsh_bands": 8}))
+    wh = str(tmp_path / "wh")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(REPO / "jobs" / "dedup.py"),
+         "--input", str(segs), "--warehouse", wh,
+         "--format", "warc", "--config", str(cfg),
+         "--input-id", "warc-v1"],
+        capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads([ln for ln in res.stdout.splitlines()
+                          if ln.startswith("{")][-1])
+    # decisions cover CLUSTERED pages only (singletons are implicit keeps)
+    assert summary["rows"] == 2
+
+    # the duplicate pair got one keep + one delete
+    from duplicate_finder_spark.warehouse import get_warehouse
+    decisions = get_warehouse(spark, wh).read("decisions")
+    acts = {r["url"]: r["action"] for r in decisions.collect()}
+    assert acts == {"http://a.example/": "keep",
+                    "http://b.example/": "delete"}
