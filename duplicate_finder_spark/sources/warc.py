@@ -103,28 +103,51 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, dt.datetime | None,
                _parse_ts(headers.get(b"warc-date")), html)
 
 
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 16) -> DataFrame:
+    """Continuous-crawl ingestion: new ``.warc``/``.warc.gz`` segments
+    landing under ``path`` stream through the same record parser
+    (``binaryFile`` file-stream source discovers whole files — exactly
+    how crawl segments arrive — and the parse is stateless, so it
+    composes with ``streaming.dedup.streaming_exact_dedup`` whose
+    watermark bounds the dedup state). Same output schema as
+    ``read_warc``."""
+    raw = (spark.readStream.format("binaryFile")
+           .schema(_BINARYFILE_SCHEMA)
+           .option("pathGlobFilter", "*.warc*")
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .load(path)
+           .select("content"))
+    return raw.mapInPandas(_parse_batches, schema=PAGES_SCHEMA)
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        for content in pdf["content"]:
+            recs = list(parse_warc(bytes(content)))
+            if recs:
+                yield pd.DataFrame({
+                    "url": [r[0] for r in recs],
+                    "warc_ts": [r[1] for r in recs],
+                    "html": [r[2] for r in recs],
+                    "text": pd.Series([None] * len(recs),
+                                      dtype="object"),
+                    "lang": pd.Series([None] * len(recs),
+                                      dtype="object"),
+                })
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC archive(s) at ``path`` → pages DataFrame
     ``(url, warc_ts, html, text=NULL, lang=NULL)``."""
-
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for content in pdf["content"]:
-                recs = list(parse_warc(bytes(content)))
-                if recs:
-                    yield pd.DataFrame({
-                        "url": [r[0] for r in recs],
-                        "warc_ts": [r[1] for r in recs],
-                        "html": [r[2] for r in recs],
-                        "text": pd.Series([None] * len(recs),
-                                          dtype="object"),
-                        "lang": pd.Series([None] * len(recs),
-                                          dtype="object"),
-                    })
-
     raw = (spark.read.format("binaryFile")
            .option("recursiveFileLookup", "true")
            .option("pathGlobFilter", "*.warc*")
            .load(path)
            .select("content"))
-    return raw.mapInPandas(_parse, schema=PAGES_SCHEMA)
+    return raw.mapInPandas(_parse_batches, schema=PAGES_SCHEMA)

@@ -92,3 +92,37 @@ def test_read_warc_end_to_end(spark, tmp_path: Path) -> None:
     assert bytes(out["http://b.example/x"]["html"]) == _HTML_B
     assert out["http://a.example/"]["warc_ts"] == dt.datetime(
         2026, 3, 1, 12, 0, 0)
+
+
+def test_read_warc_stream_dedups_across_segments(spark, tmp_path: Path) -> None:
+    """Continuous-crawl ingest: segments stream in one file per trigger
+    and the watermarked dedup keeps first-seen across micro-batches."""
+    from duplicate_finder_spark.streaming.dedup import (run_stream_to_memory,
+                                                        streaming_exact_dedup)
+    from duplicate_finder_spark.sources.warc import read_warc_stream
+
+    seg = tmp_path / "crawl"
+    seg.mkdir()
+    same = b"<html><body>repeated</body></html>"
+    (seg / "s0.warc").write_bytes(
+        _response(b"http://a.example/", same,
+                  date=b"2026-03-01T12:00:00Z"))
+    (seg / "s1.warc").write_bytes(
+        _response(b"http://b.example/", same,          # cross-segment dup
+                  date=b"2026-03-01T12:01:00Z")
+        + _response(b"http://c.example/", b"<html>fresh</html>",
+                    date=b"2026-03-01T12:02:00Z"))
+
+    stream = read_warc_stream(spark, str(seg), max_files_per_trigger=1)
+    assert stream.isStreaming
+    pages = with_extracted_text(stream)
+    dedup = streaming_exact_dedup(pages, watermark="10 minutes")
+    run_stream_to_memory(dedup, "warc_dedup_out")
+    out = spark.sql("SELECT url, text FROM warc_dedup_out").collect()
+    assert sorted(r["text"] for r in out) == ["fresh", "repeated"]
+    # first-SEEN-wins: exactly one of the dup pair survives (which one
+    # depends on segment arrival order, which the file source does not
+    # promise); the unique page always survives
+    urls = {r["url"] for r in out}
+    assert "http://c.example/" in urls and len(urls) == 2
+    assert len(urls & {"http://a.example/", "http://b.example/"}) == 1
