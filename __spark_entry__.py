@@ -267,7 +267,7 @@ def _verified_near_dup_pairs(spark, sf_dir):
         F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
     sigs = signatures(docs, cfg).persist()
     return verify_pairs(candidate_pairs(sigs, cfg), sigs,
-                        cfg.jaccard_threshold)
+                        cfg.jaccard_threshold, cfg)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

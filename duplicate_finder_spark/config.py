@@ -156,6 +156,17 @@ class PipelineConfig:
     hot_bucket_limit: int = 2000           # docs per LSH bucket before salting
     max_pairs_per_bucket: int = 5_000_000  # hard cap, logged when hit
 
+    # verify-stage payload bound: ship a bottom-k shingle sketch through the
+    # pair join instead of the full (unbounded) shingle array; pairs whose
+    # sketch-estimated Jaccard falls within ``verify_band`` of the threshold
+    # are re-verified exactly.  Bottom-k Jaccard has stderr ≈ 1/sqrt(k)
+    # (Broder 1997; Cohen & Kaplan 2007 bottom-k sketches), so the default
+    # band is 3 sigma.  Docs with ≤ sketch_k shingles are verified exactly
+    # (sketch == full set), so small-corpus results are bit-identical to the
+    # full-array path.
+    sketch_k: int = 512
+    verify_band: Optional[float] = None    # None → 3 / sqrt(sketch_k)
+
     # decisions (D1-D3)
     delete_duplicates: bool = False
     dry_run: bool = True
@@ -185,6 +196,10 @@ class PipelineConfig:
                 f"num_perm={self.num_perm} not divisible by "
                 f"lsh_bands={self.lsh_bands}")
         self.rows_per_band = self.num_perm // self.lsh_bands
+        if self.sketch_k <= 0:
+            raise ValueError(f"sketch_k must be positive: {self.sketch_k}")
+        if self.verify_band is None:
+            self.verify_band = 3.0 / self.sketch_k ** 0.5
         if self.sort_by_group_size and self.sort_by_file_size:
             # O3 precedence: group-size sort wins (duplicate_finder.py:251-253)
             self.sort_by_file_size = False

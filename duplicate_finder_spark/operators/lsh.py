@@ -59,26 +59,83 @@ def candidate_pairs(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return pairs_small.unionByName(pairs_hot).distinct()
 
 
-def verify_pairs(pairs: DataFrame, sigs: DataFrame,
-                 threshold: float) -> DataFrame:
-    """V1 generalized: exact Jaccard over the hashed shingle sets, fully
-    JVM-side (array_intersect / array_union — no UDF). Keeps pairs with
+def verify_pairs(pairs: DataFrame, sigs: DataFrame, threshold: float,
+                 cfg: PipelineConfig | None = None) -> DataFrame:
+    """V1 generalized: Jaccard over hashed shingle sets, fully JVM-side
+    (array_intersect / array_union — no UDF). Keeps pairs with
     jaccard ≥ threshold → these are the dup EDGES.
 
     Parity: the reference's byte-compare verify (duplicate_finder.py:
-    427-463) confirms candidate groups before reporting; here the exact
+    427-463) confirms candidate groups before reporting; here the
     set-similarity check confirms LSH candidates before they enter
     connected components — this is what pins dup-pair precision.
+
+    Scale: the pair join ships only the bottom-k ``sketch`` column
+    (≤ cfg.sketch_k longs per side), never the unbounded ``shingles``
+    array — at web scale the verify stage's shuffle BYTES, not its row
+    count, are the bottleneck, and a hot doc with many candidate partners
+    re-ships its payload once per pair. Three per-pair regimes:
+
+    * both docs ≤ sketch_k shingles → sketch == full set → EXACT Jaccard
+      (all docs at test scale; bit-identical to the full-array path);
+    * truncated + estimate ≥ verify_band away from threshold → decided by
+      the bottom-k estimate |bottomk(A∪B) ∩ skA ∩ skB| / k (unbiased,
+      stderr ≈ 1/sqrt(k): an element of A∩B in bottomk(A∪B) is ≤ the
+      k-th smallest of each set, hence present in BOTH sketches);
+    * truncated + estimate within verify_band → exact re-verify with the
+      full arrays, for just that narrow band of pairs.
     """
-    a = sigs.select(F.col("url").alias("url_a"),
-                    F.col("shingles").alias("sh_a"))
-    b = sigs.select(F.col("url").alias("url_b"),
-                    F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (pairs.join(a, "url_a").join(b, "url_b")
-            .withColumn("jaccard",
-                        F.when(union == 0, F.lit(1.0))
-                         .otherwise(inter / union))
-            .filter(F.col("jaccard") >= threshold)
-            .select("url_a", "url_b", "jaccard"))
+    k = cfg.sketch_k if cfg is not None else 512
+    band = (cfg.verify_band if cfg is not None and cfg.verify_band is not None
+            else 3.0 / k ** 0.5)
+    sk = sigs
+    if "sketch" not in sk.columns:
+        sk = sk.withColumn("sketch", F.slice(F.array_sort("shingles"), 1, k))
+    a = sk.select(F.col("url").alias("url_a"),
+                  F.col("sketch").alias("sk_a"),
+                  F.col("n_shingles").alias("n_a"))
+    b = sk.select(F.col("url").alias("url_b"),
+                  F.col("sketch").alias("sk_b"),
+                  F.col("n_shingles").alias("n_b"))
+
+    inter = F.size(F.array_intersect("sk_a", "sk_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
+    j_exact = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    # truncated estimate: bottom-k of the union (sketches are sorted, the
+    # union re-sorted JVM-side under the same signed-int64 order)
+    union_bk = F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    j_est = (F.size(F.array_intersect(union_bk,
+                                      F.array_intersect("sk_a", "sk_b")))
+             / F.lit(float(k)))
+    is_exact = (F.col("n_a") <= k) & (F.col("n_b") <= k)
+
+    scored = (pairs.join(a, "url_a").join(b, "url_b")
+              .withColumn("jaccard", F.when(is_exact, j_exact)
+                                      .otherwise(j_est))
+              .withColumn("_exact", is_exact))
+
+    decided = (scored
+               .filter(F.col("_exact")
+                       | (F.abs(F.col("jaccard") - F.lit(threshold))
+                          >= F.lit(band)))
+               .filter(F.col("jaccard") >= threshold)
+               .select("url_a", "url_b", "jaccard"))
+
+    borderline = (scored
+                  .filter(~F.col("_exact")
+                          & (F.abs(F.col("jaccard") - F.lit(threshold))
+                             < F.lit(band)))
+                  .select("url_a", "url_b"))
+    af = sigs.select(F.col("url").alias("url_a"),
+                     F.col("shingles").alias("sh_a"))
+    bf = sigs.select(F.col("url").alias("url_b"),
+                     F.col("shingles").alias("sh_b"))
+    binter = F.size(F.array_intersect("sh_a", "sh_b"))
+    bunion = F.size("sh_a") + F.size("sh_b") - binter
+    reverified = (borderline.join(af, "url_a").join(bf, "url_b")
+                  .withColumn("jaccard",
+                              F.when(bunion == 0, F.lit(1.0))
+                               .otherwise(binter / bunion))
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("url_a", "url_b", "jaccard"))
+    return decided.unionByName(reverified)

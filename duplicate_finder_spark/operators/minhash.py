@@ -172,10 +172,16 @@ def shingle_sets(docs: DataFrame, k: int, id_col: str = "doc_id",
 
 def signatures(pages: DataFrame, cfg: PipelineConfig,
                url_col: str = "url", text_col: str = "text") -> DataFrame:
-    """→ (url, n_shingles, shingles: array<long>, minhash: array<long>).
+    """→ (url, n_shingles, shingles, minhash, sketch: array<long>).
 
     Rows with zero tokens (blank docs) are excluded — exact dedup owns
     those (operators/exact.py).
+
+    ``sketch`` is the bottom-``cfg.sketch_k`` shingle hashes under signed
+    int64 order (a uniform order for hashed values), sorted ascending and
+    computed JVM-side — the verify stage ships THIS bounded column through
+    the pair join, never the unbounded ``shingles`` array.  For docs with
+    ≤ sketch_k shingles the sketch IS the (sorted) full set.
     """
     tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     sig = make_signature_udf(cfg.shingle_size, cfg.num_perm, cfg.seed)
@@ -187,4 +193,6 @@ def signatures(pages: DataFrame, cfg: PipelineConfig,
             .select("url",
                     F.col("_sig.shingles").alias("shingles"),
                     F.col("_sig.minhash").alias("minhash"))
-            .withColumn("n_shingles", F.size("shingles")))
+            .withColumn("n_shingles", F.size("shingles"))
+            .withColumn("sketch",
+                        F.slice(F.array_sort("shingles"), 1, cfg.sketch_k)))

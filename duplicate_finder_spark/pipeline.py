@@ -41,7 +41,7 @@ def near_dup_edges(pages: DataFrame, cfg: PipelineConfig,
     if sigs is None:
         sigs = signatures(pages, cfg)
     pairs = candidate_pairs(sigs, cfg)
-    return verify_pairs(pairs, sigs, cfg.jaccard_threshold)
+    return verify_pairs(pairs, sigs, cfg.jaccard_threshold, cfg)
 
 
 def dedup_clusters(pages: DataFrame, cfg: PipelineConfig,
@@ -110,7 +110,7 @@ def run_resumable(spark: SparkSession, pages: DataFrame,
     edges = staged("edges", lambda: (
         exact_edges(ex.exact_clusters(pages, cfg)).unionByName(
             verify_pairs(candidate_pairs(sigs, cfg), sigs,
-                         cfg.jaccard_threshold)
+                         cfg.jaccard_threshold, cfg)
             .select(F.col("url_a").alias("src"),
                     F.col("url_b").alias("dst")))))
     clusters = staged("clusters", lambda: connected_components(edges))

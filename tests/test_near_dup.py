@@ -84,6 +84,76 @@ def test_verify_filters_by_exact_jaccard(spark):
     assert len(low) == 1 and 0 < low[0]["jaccard"] < 0.5
 
 
+def test_sketch_bounds_verify_payload_on_long_docs(spark):
+    """Verify-stage payload bound (VERDICT r2 #2): long docs ship a
+    bottom-k sketch (≤ sketch_k longs) through the pair join, never the
+    full shingle array; decisions still match exact Jaccard — clearly
+    above/below pairs via the unbiased estimate, borderline pairs via
+    exact re-verify of just that band."""
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=0.8, sketch_k=256)
+    base = [f"t{i}" for i in range(600)]
+    rows = [
+        ("base", " ".join(base)),
+        # shared 595-token prefix → j ≈ 593/603 ≈ 0.983 (keep)
+        ("dup", " ".join(base[:595] + [f"d{i}" for i in range(5)])),
+        # shared 510-token prefix → j ≈ 508/688 ≈ 0.738 (borderline, drop)
+        ("mid", " ".join(base[:510] + [f"m{i}" for i in range(90)])),
+        # shared 150-token prefix → j ≈ 148/1048 ≈ 0.141 (drop)
+        ("far", " ".join(base[:150] + [f"f{i}" for i in range(450)])),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    sigs = signatures(df, cfg)
+    agg = sigs.agg(F.max(F.size("sketch")).alias("mx"),
+                   F.max("n_shingles").alias("mn")).first()
+    assert agg["mx"] == cfg.sketch_k, "sketch must be capped at sketch_k"
+    assert agg["mn"] > cfg.sketch_k, "fixture docs must exceed sketch_k"
+
+    sets = {r["url"]: set(r["shingles"]) for r in sigs.collect()}
+
+    def jac(a, b):
+        return len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+
+    cand = [("base", "dup"), ("base", "mid"), ("base", "far")]
+    pairs = spark.createDataFrame(cand, "url_a string, url_b string")
+    got = {(r["url_a"], r["url_b"]): r["jaccard"]
+           for r in verify_pairs(pairs, sigs, 0.8, cfg).collect()}
+    want = {p: jac(*p) for p in cand if jac(*p) >= 0.8}
+    assert set(got) == set(want)
+    for p, j in want.items():
+        # borderline pairs return the exact value; estimate-decided pairs
+        # are within the 3-sigma band of it
+        assert abs(got[p] - j) <= cfg.verify_band + 1e-9
+
+
+def test_sketch_verify_identical_to_exact_when_not_truncated(spark, small_pages):
+    """Docs under sketch_k shingles must be verified bit-identically to
+    the full-array exact formula (the driver-oracle regime: every
+    /root/testdata doc is far below the default sketch_k)."""
+    pages, _ = small_pages
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32, jaccard_threshold=0.8,
+                         sketch_k=1_000_000)   # no doc truncated
+    sigs = signatures(pages, cfg)
+    pairs = candidate_pairs(sigs, cfg)
+    new = {(r["url_a"], r["url_b"]): r["jaccard"]
+           for r in verify_pairs(pairs, sigs, cfg.jaccard_threshold,
+                                 cfg).collect()}
+    # exact reference formula over full shingle arrays
+    a = sigs.select(F.col("url").alias("url_a"),
+                    F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col("url").alias("url_b"),
+                    F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    old = {(r["url_a"], r["url_b"]): r["jaccard"]
+           for r in pairs.join(a, "url_a").join(b, "url_b")
+           .withColumn("jaccard", F.when(union == 0, F.lit(1.0))
+                       .otherwise(inter / union))
+           .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+           .select("url_a", "url_b", "jaccard").collect()}
+    assert new == old
+
+
 def _uf_oracle(edges):
     parent = {}
 

@@ -72,7 +72,7 @@ def _pipeline_decisions(spark, cfg: PipelineConfig, persist: bool = True):
     if persist:
         sigs = sigs.persist()
     pairs = candidate_pairs(sigs, cfg)
-    near = verify_pairs(pairs, sigs, cfg.jaccard_threshold)
+    near = verify_pairs(pairs, sigs, cfg.jaccard_threshold, cfg)
     edges = e_exact.unionByName(
         near.select(F.col("url_a").alias("src"),
                     F.col("url_b").alias("dst")))
