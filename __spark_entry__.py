@@ -473,7 +473,9 @@ def q_ann_lsh_recall(spark, sf_dir):
 
 
 def q_ann_ivf_recall(spark, sf_dir):
-    """IVF ANN recall vs brute force (seeded centroids — deterministic)."""
+    """IVF ANN recall vs brute force (seeded sample centroids + 2 Lloyd
+    k-means iterations, all deterministic — 91/100 at 8 cells / 6 probes
+    vs 88 unrefined)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < ANN_NQ)
     approx = cosine_topk_ivf(emb, q, k=ANN_K, n_cells=8, n_probe=6)
@@ -972,15 +974,51 @@ def oracle_sql() -> dict[str, str]:
           SELECT 17::BIGINT AS n_pairs_blocked, 17::BIGINT AS n_pairs_brute,
                  17::BIGINT AS n_matched, 1.0 AS recall
         """,
-        "ann_lsh_recall": """
-          SELECT 10::BIGINT AS n_queries, 10::BIGINT AS k,
-                 100::BIGINT AS n_truth, 95::BIGINT AS n_hits,
-                 0.95 AS recall
+        # corpus-derived (VERDICT r2 #2): n_truth is the brute-force
+        # top-k row count recomputed in SQL — a regression in the exact
+        # side (ranking, tie-break, filter) shifts n_truth and is caught.
+        # Only n_hits stays pinned: it is the empirical property of the
+        # seeded approximate config on this corpus (recall follows as
+        # n_hits / n_truth, computed, not pinned).
+        "ann_lsh_recall": f"""
+          WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < {ANN_NQ}),
+          n AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv
+                FROM embeddings),
+          scored AS (
+            SELECT qid AS query_id, nid AS neighbor_id, {_COS_SIM} AS sim
+            FROM q, n WHERE qid != nid),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored),
+          t AS (SELECT count(*) AS n_truth FROM ranked
+                WHERE rank <= {ANN_K})
+          SELECT {ANN_NQ}::BIGINT AS n_queries, {ANN_K}::BIGINT AS k,
+                 n_truth::BIGINT AS n_truth, 95::BIGINT AS n_hits,
+                 round(95.0 / n_truth, 6) AS recall
+          FROM t
         """,
-        "ann_ivf_recall": """
-          SELECT 10::BIGINT AS n_queries, 10::BIGINT AS k,
-                 100::BIGINT AS n_truth, 88::BIGINT AS n_hits,
-                 0.88 AS recall
+        "ann_ivf_recall": f"""
+          WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < {ANN_NQ}),
+          n AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv
+                FROM embeddings),
+          scored AS (
+            SELECT qid AS query_id, nid AS neighbor_id, {_COS_SIM} AS sim
+            FROM q, n WHERE qid != nid),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored),
+          t AS (SELECT count(*) AS n_truth FROM ranked
+                WHERE rank <= {ANN_K})
+          SELECT {ANN_NQ}::BIGINT AS n_queries, {ANN_K}::BIGINT AS k,
+                 n_truth::BIGINT AS n_truth, 91::BIGINT AS n_hits,
+                 round(91.0 / n_truth, 6) AS recall
+          FROM t
         """,
         # corpus-derived, not a bare constant: the exact pair count comes
         # from SQL; recall 1.0 is the pinned empirical property of the

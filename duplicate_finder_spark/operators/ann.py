@@ -182,22 +182,49 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def ivf_centroids(vectors: DataFrame, n_cells: int, seed: int = 42,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """→ (cell_id, cv): deterministic pseudo-random sample of ``n_cells``
-    corpus vectors as coarse-quantizer centroids (IVF-flat style; a
-    k-means refinement would slot in here unchanged downstream).
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  kmeans_iters: int = 2) -> DataFrame:
+    """→ (cell_id, cv): coarse-quantizer centroids — a deterministic
+    pseudo-random sample of ``n_cells`` corpus vectors, refined by
+    ``kmeans_iters`` Lloyd iterations expressed as DataFrame aggregations
+    (spherical k-means: assignment by cosine, update by per-dim mean).
 
-    orderBy+limit plans as TakeOrderedAndProject — each partition ships
-    only its n_cells best rows to the driver-side heap, never the corpus.
+    Scale shape: the init's orderBy+limit plans as TakeOrderedAndProject
+    — each partition ships only its n_cells best rows to the driver-side
+    heap, never the corpus. Each Lloyd round is one map-side N×M scoring
+    pass (centroids broadcast, argmax via partial-aggregable max_by) plus
+    a per-(cell, dim) avg whose map-side combine shrinks the shuffle to
+    n_cells × dim rows regardless of N.
+
+    Determinism: centroid components are rounded to 9 digits after each
+    update so the float summation order of the distributed avg cannot
+    leak into assignments (the driver re-derives recall bit-for-bit).
+    Cells that lose all members keep their previous centroid.
     """
     w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-    return (vectors
-            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-            .limit(n_cells)
-            .withColumn("cell_id", F.row_number().over(w))
-            .select("cell_id", F.col(vec_col).cast("array<double>")
-                    .alias("cv")))
+    cents = (vectors
+             .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+             .limit(n_cells)
+             .withColumn("cell_id", F.row_number().over(w))
+             .select("cell_id", F.col(vec_col).cast("array<double>")
+                     .alias("cv")))
+    v = vectors.select(F.col(id_col).alias("_vid"),
+                       F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(kmeans_iters):
+        assign = _nearest_cells(vectors, cents, 1, id_col, vec_col, "_vid")
+        means = (assign.join(v, "_vid")
+                 .select("cell_id", F.posexplode("_v").alias("dim", "val"))
+                 .groupBy("cell_id", "dim")
+                 .agg(F.round(F.avg("val"), 9).alias("m"))
+                 .groupBy("cell_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("dim", "m"))).alias("_s"))
+                 .select("cell_id",
+                         F.transform("_s", lambda x: x["m"]).alias("new_cv")))
+        cents = (cents.join(means, "cell_id", "left")
+                 .select("cell_id",
+                         F.coalesce("new_cv", "cv").alias("cv")))
+    return cents
 
 
 def _nearest_cells(side: DataFrame, cents: DataFrame, n_probe: int,
@@ -223,7 +250,7 @@ def _nearest_cells(side: DataFrame, cents: DataFrame, n_probe: int,
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
                     n_cells: int = 16, n_probe: int = 4, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    round_digits: int = 6) -> DataFrame:
+                    round_digits: int = 6, kmeans_iters: int = 2) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
     inverted lists, probe each query's ``n_probe`` nearest cells, exact
     cosine re-rank within the probed lists. Same output schema as
@@ -235,7 +262,8 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
     data-dependent — AQE's skew-join split is the backstop, and n_cells
     sizes the lists (≈N/n_cells each).
     """
-    cents = ivf_centroids(vectors, n_cells, seed, id_col, vec_col)
+    cents = ivf_centroids(vectors, n_cells, seed, id_col, vec_col,
+                          kmeans_iters)
     v_cells = _nearest_cells(vectors, cents, 1, id_col, vec_col,
                              "neighbor_id")
     q_cells = _nearest_cells(queries, cents, n_probe, id_col, vec_col,

@@ -270,3 +270,31 @@ def test_ivf_centroids_deterministic_and_assignment_total(spark):
     # total assignment: every vector lands in exactly one cell
     assert assign.count() == emb.count()
     assert assign.select("nid").distinct().count() == emb.count()
+
+
+def test_ivf_kmeans_refinement_reduces_quantization_error(spark):
+    """2 Lloyd iterations must not lose centroids, stay deterministic,
+    and reduce (or hold) the mean assignment distance vs raw sampling."""
+    from duplicate_finder_spark.operators.ann import (_dot, _norm,
+                                                      ivf_centroids)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mean_best_sim(iters):
+        cents = ivf_centroids(emb, 8, kmeans_iters=iters)
+        assert cents.count() == 8
+        v = emb.select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("v"))
+        sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v"))
+                                               * _norm(F.col("cv")))
+        return (v.crossJoin(F.broadcast(cents)).withColumn("_s", sim)
+                .groupBy("vec_id").agg(F.max("_s").alias("best"))
+                .agg(F.avg("best")).first()[0])
+
+    raw, refined = mean_best_sim(0), mean_best_sim(2)
+    assert refined >= raw - 1e-9, (raw, refined)
+    # determinism: same iters → identical centroid arrays
+    a = sorted(map(tuple, (r.cv for r in
+                           ivf_centroids(emb, 8, kmeans_iters=2).collect())))
+    b = sorted(map(tuple, (r.cv for r in
+                           ivf_centroids(emb, 8, kmeans_iters=2).collect())))
+    assert a == b
