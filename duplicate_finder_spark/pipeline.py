@@ -86,12 +86,18 @@ def config_fingerprint(cfg: PipelineConfig, input_id: str) -> str:
 
 def run_resumable(spark: SparkSession, pages: DataFrame,
                   cfg: PipelineConfig, warehouse, input_id: str,
-                  keep_overrides: DataFrame | None = None) -> DataFrame:
+                  keep_overrides: DataFrame | None = None,
+                  cc_checkpoint_every: int = 0) -> DataFrame:
     """Full pipeline with per-stage warehouse checkpoints: a rerun after
     a failure resumes from the last completed stage (fingerprint match),
     and every stage logs a row into the ``metrics`` table (stage, rows,
     wall seconds, resumed flag) — the engine's answer to the reference's
     per-stage progress banners (duplicate_finder.py:31,131,186,206).
+
+    ``cc_checkpoint_every`` > 0 additionally writes every that-many-th
+    connected-components ROUND to a reliable warehouse round table
+    (operators/components.py), so a long clustering job survives
+    executor loss mid-stage, not just between stages.
     """
     fp = config_fingerprint(cfg, input_id)
     metrics: list[dict] = []
@@ -113,7 +119,10 @@ def run_resumable(spark: SparkSession, pages: DataFrame,
                          cfg.jaccard_threshold, cfg)
             .select(F.col("url_a").alias("src"),
                     F.col("url_b").alias("dst")))))
-    clusters = staged("clusters", lambda: connected_components(edges))
+    clusters = staged("clusters", lambda: connected_components(
+        edges, warehouse=warehouse if cc_checkpoint_every > 0 else None,
+        checkpoint_every=cc_checkpoint_every,
+        table_prefix=f"cc_round_{fp}"))
 
     # decisions are NOT checkpointed: they are cheap relative to the
     # signature/edge/cluster stages and must react to a fresh

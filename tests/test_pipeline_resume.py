@@ -93,6 +93,53 @@ def test_manifest_per_partition_lineage(spark, small_pages, tmp_path):
         assert m.skew_ratio >= 1.0
 
 
+def test_cc_reliable_round_checkpoint_resume(spark, tmp_path):
+    """VERDICT r2 #3: connected_components with a warehouse writes each
+    round's edge set to a reliable round table; a rerun after a 'crash'
+    at round N resumes (reads, doesn't recompute) rounds ≤ N and
+    produces identical clusters. Content-addressed fingerprints keep a
+    different input from false-resuming."""
+    from duplicate_finder_spark.operators.components import \
+        connected_components
+    from duplicate_finder_spark.warehouse import get_warehouse
+
+    # a 30-node chain needs several large/small-star rounds to converge
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)]
+        + [("m0", "m1")], "src string, dst string")
+    wh = get_warehouse(spark, str(tmp_path / "whcc"))
+
+    want = {(r["url"], r["cluster_id"])
+            for r in connected_components(edges).collect()}
+
+    # simulated crash: only 2 rounds run, tables r1/r2 persisted
+    connected_components(edges, max_iter=2, warehouse=wh,
+                         checkpoint_every=1)
+    assert wh.exists("cc_round_r1") and wh.exists("cc_round_r2")
+    ts_before = {n: wh.manifest(n).written_at
+                 for n in ("cc_round_r1", "cc_round_r2")}
+
+    # full rerun: resumes r1/r2 (manifests untouched), finishes the rest
+    got = {(r["url"], r["cluster_id"])
+           for r in connected_components(edges, warehouse=wh,
+                                         checkpoint_every=1).collect()}
+    assert got == want
+    for name, ts in ts_before.items():
+        assert wh.manifest(name).written_at == ts, f"{name} was recomputed"
+    assert wh.exists("cc_round_r3"), "later rounds must have run"
+
+    # different input → different content fingerprint → r1 recomputed
+    edges2 = edges.unionByName(spark.createDataFrame(
+        [("z0", "z1")], "src string, dst string"))
+    got2 = {(r["url"], r["cluster_id"])
+            for r in connected_components(edges2, warehouse=wh,
+                                          checkpoint_every=1).collect()}
+    want2 = {(r["url"], r["cluster_id"])
+             for r in connected_components(edges2).collect()}
+    assert got2 == want2
+    assert wh.manifest("cc_round_r1").written_at > ts_before["cc_round_r1"]
+
+
 def test_iceberg_missing_catalog_clean_error(spark):
     """No iceberg jar/catalog in the sandbox: constructing the Iceberg
     warehouse against an unconfigured catalog must fail with a clear,
