@@ -425,6 +425,13 @@ def q_simhash_block_recall(spark, sf_dir):
     (pigeonhole: hamming_max < n_blocks). 1 row: counts + recall."""
     docs = _docs(spark, sf_dir).select(
         F.format_string("%012d", "doc_id").alias("url"), "text")
+    # size fence: the brute-force side is O(N^2) by design (it IS the
+    # recall oracle); fail loudly instead of cross-joining a big sf
+    n_docs = docs.count()
+    if n_docs > 50_000:
+        raise ValueError(
+            f"q_simhash_block_recall brute-force baseline fenced at "
+            f"50000 docs (got {n_docs}); run it on a small sf only")
     cfg = PipelineConfig(simhash_hamming_max=3)
     sims = simhash(docs).persist()
     blocked = simhash_pairs(sims, cfg)

@@ -56,14 +56,34 @@ def load_pages(spark: SparkSession, folder: str, fmt: str) -> DataFrame:
         F.col("content").alias("text"))
 
 
-def collect_groups(clusters: DataFrame, cfg: PipelineConfig) -> list[dict]:
-    """clusters → ordered [{members, size, k}] — the tiny report tail
-    (W1 member sort, O1/O2/O3 group ordering, ref :241-255)."""
-    rows = (clusters.groupBy("cluster_id")
-            .agg(F.sort_array(F.collect_list("url")).alias("members"),
-                 F.max("size").alias("size"),
-                 F.count("*").alias("k"))
-            .collect())
+def collect_groups(clusters: DataFrame, cfg: PipelineConfig,
+                   max_groups: int | None = None) -> tuple[list[dict], int]:
+    """clusters → (ordered [{members, size, k}], total group count) —
+    the tiny report tail (W1 member sort, O1/O2/O3 group ordering,
+    ref :241-255).
+
+    ``max_groups`` fences the driver collect: the first N groups under
+    the configured ordering come back via a Spark-side orderBy+limit
+    (TakeOrderedAndProject — no full collect), so the CLI is safe to
+    point at a big table. Default None collects everything, like the
+    reference (which holds all groups in memory too).
+    """
+    agg = (clusters.groupBy("cluster_id")
+           .agg(F.sort_array(F.collect_list("url")).alias("members"),
+                F.max("size").alias("size"),
+                F.count("*").alias("k")))
+    total = None
+    if max_groups is not None:
+        if cfg.sort_by_group_size:
+            order = [F.desc("k"), F.col("members")[0]]
+        elif cfg.sort_by_file_size:
+            order = [F.desc("size"), F.col("members")[0]]
+        else:
+            order = [F.col("members")[0]]
+        agg = agg.persist()
+        total = agg.count()
+        agg = agg.orderBy(*order).limit(max_groups)
+    rows = agg.collect()
     groups = [{"members": list(r["members"]), "size": int(r["size"]),
                "k": int(r["k"])} for r in rows]
     if cfg.sort_by_group_size:
@@ -72,16 +92,22 @@ def collect_groups(clusters: DataFrame, cfg: PipelineConfig) -> list[dict]:
         groups.sort(key=lambda g: (-g["size"], g["members"][0]))
     else:
         groups.sort(key=lambda g: g["members"][0])
-    return groups
+    return groups, total if total is not None else len(groups)
 
 
-def print_duplicates(groups: list[dict]) -> None:
-    """K1 console sink, format parity with ref :257-274."""
+def print_duplicates(groups: list[dict],
+                     total_groups: int | None = None) -> None:
+    """K1 console sink, format parity with ref :257-274. Below the
+    --max-groups cap the output is byte-identical to the reference;
+    when capped, one banner line states what was elided."""
     if not groups:
         print("No duplicates found.")
         return
     total = len(groups)
     print("\nDuplicate files:")
+    if total_groups is not None and total_groups > total:
+        print(f"(showing first {total} of {total_groups} groups"
+              f" — raise --max-groups to see more)")
     for idx, g in enumerate(groups, start=1):
         print(f"\nGroup {idx}/{total} ({g['k']}"
               f" file(s), size: {humanize_size(g['size'])}):")
@@ -106,7 +132,13 @@ def save_report(groups: list[dict], output_path: str) -> None:
 
 
 def _unlink(path: str, report_lines: list[str]) -> int:
-    """Delete one file, ref error handling (:336-341). → bytes freed."""
+    """Delete one file for the batch path, ref error handling
+    (:310-331). → bytes to count, or -1 when stat failed.
+
+    Reference counting semantics: a stat failure skips the file
+    entirely, but a failed UNLINK still increments deleted_count /
+    total size (ref :328-331) — so this returns the size even when the
+    unlink itself errored."""
     try:
         size = Path(path).stat().st_size
     except Exception as e:  # noqa: BLE001
@@ -117,11 +149,10 @@ def _unlink(path: str, report_lines: list[str]) -> int:
         Path(path).unlink()
         print(f"Deleted: {path}")
         report_lines.append(f"Deleted: {path}")
-        return size
     except Exception as e:  # noqa: BLE001
         print(f"ERROR: Failed to delete {path}: {e}")
         report_lines.append(f"FAILED: {path} ({e})")
-        return -1
+    return size
 
 
 def delete_duplicates(groups: list[dict], dry_run: bool,
@@ -161,12 +192,20 @@ def delete_duplicates(groups: list[dict], dry_run: bool,
 
 
 def delete_interactive(groups: list[dict], report_path: str | None,
-                       unlink: bool) -> None:
-    """D2: interactive prompt loop with reprompt-on-invalid, ref :353-425."""
+                       unlink: bool) -> list[str]:
+    """D2: interactive prompt loop with reprompt-on-invalid, ref
+    :353-425. → urls chosen for deletion (the caller owns the survivors
+    rewrite when ``unlink`` is False — table/WARC input has no files to
+    unlink, so 'deletion' means rewriting the table without them).
+
+    Reference counting semantics for real files (:395-411): only a
+    SUCCESSFUL unlink counts; stat and unlink failures are reported and
+    skipped."""
     print("\nInteractive duplicate cleanup started.")
     deleted_count = 0
     total_deleted_size = 0
     report_lines: list[str] = []
+    deleted_urls: list[str] = []
     total = len(groups)
     for idx, g in enumerate(groups, start=1):
         members = g["members"]
@@ -176,7 +215,7 @@ def delete_interactive(groups: list[dict], report_path: str | None,
         to_delete: list[str] = []
         while True:
             choice = input(
-                f"Select the file to KEEP [1-{len(members)}],"
+                f"Select the file to KEEP [1–{len(members)}],"
                 f" or press Enter to skip this group: ").strip()
             if not choice:
                 print("Skipped.")
@@ -194,18 +233,32 @@ def delete_interactive(groups: list[dict], report_path: str | None,
             if not unlink:
                 print(f"Deleted: {path}")
                 report_lines.append(f"Deleted: {path}")
+                deleted_urls.append(path)
                 deleted_count += 1
                 total_deleted_size += g["size"]
                 continue
-            freed = _unlink(path, report_lines)
-            if freed >= 0:
+            try:
+                try:
+                    file_size = Path(path).stat().st_size
+                except Exception as e:  # noqa: BLE001
+                    print(f"ERROR: Could not get size for {path}: {e}")
+                    report_lines.append(f"FAILED: {path} ({e})")
+                    continue
+                Path(path).unlink()
+                print(f"Deleted: {path}")
+                report_lines.append(f"Deleted: {path}")
+                deleted_urls.append(path)
                 deleted_count += 1
-                total_deleted_size += freed
+                total_deleted_size += file_size
+            except Exception as e:  # noqa: BLE001
+                print(f"ERROR: Could not delete {path}: {e}")
+                report_lines.append(f"FAILED: {path} ({e})")
     print(f"\nTotal deleted interactively: {deleted_count}")
     print(f"\nTotal deleted size: {humanize_size(total_deleted_size)}")
     if report_path:
         _write_report(report_path, "Interactive Deletion Report",
                       report_lines, 32)
+    return deleted_urls
 
 
 def _write_report(report_path: str, title: str,
@@ -236,15 +289,49 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark(master=args.master or f"local[{cfg.parallelism}]",
                       shuffle_partitions=cfg.parallelism)
+
+    def rewrite_survivors(pages: DataFrame, dup_urls: list[str]) -> None:
+        """Table/WARC 'deletion': write the input minus the chosen urls
+        to <folder>__dedup (never mutates the input in place)."""
+        out = args.folder_path.rstrip("/") + "__dedup"
+        survivors = pages.join(
+            spark.createDataFrame([(u,) for u in dup_urls], "url string"),
+            "url", "left_anti")
+        survivors.write.mode("overwrite").parquet(out)
+        print(f"Survivors written to: {out}")
+
     try:
         print(f"Scanning folder: {args.folder_path}")
+        resolved = Path(args.folder_path).expanduser().resolve()
+        if args.format == "files" and not resolved.is_dir():
+            # explicit not-a-dir ERROR like the reference
+            # (duplicate_finder.py:126-129), then the no-files early-out
+            print(f"ERROR: Path '{resolved}'"
+                  f" is not a folder or doesn't exist")
+            print("No files found or all files are excluded.")
+            return 0
         try:
             pages = load_pages(spark, args.folder_path, args.format)
             filtered = ex.apply_filters(pages, cfg)
-        except Exception:  # noqa: BLE001 — empty/missing dir: no files
-            print("No files found or all files are excluded.")
-            return 0
-        if filtered.isEmpty():
+            no_pages = filtered.isEmpty()
+        except Exception as e:  # noqa: BLE001
+            # only the missing/empty-path analysis errors mean "no
+            # files"; anything else (corrupt parquet, permission
+            # denied, bad WARC record framing) is a REAL failure and
+            # must propagate with a nonzero exit, not masquerade as a
+            # clean empty scan
+            marker = f"{type(e).__name__}: {e}"
+            if ("PATH_NOT_FOUND" in marker
+                    or "Path does not exist" in marker):
+                print(f"ERROR: Path '{resolved}'"
+                      f" is not a folder or doesn't exist")
+                print("No files found or all files are excluded.")
+                return 0
+            if "UNABLE_TO_INFER_SCHEMA" in marker:  # empty table dir
+                print("No files found or all files are excluded.")
+                return 0
+            raise
+        if no_pages:
             print("No files found or all files are excluded.")
             return 0
         if ex.size_prefilter(filtered).isEmpty():
@@ -255,18 +342,21 @@ def main(argv: list[str] | None = None) -> int:
         # SHA-256 of the exact bytes (see operators/exact.py V1 note),
         # so members are byte-identical with or without the flag.
         clusters = ex.exact_clusters(pages, cfg)
-        groups = collect_groups(clusters, cfg)
+        groups, total_groups = collect_groups(clusters, cfg,
+                                              args.max_groups)
         if not groups:
             print("No potential duplicates found after hashing.")
             return 0
 
-        print_duplicates(groups)
+        print_duplicates(groups, total_groups)
         if args.output:
             save_report(groups, args.output)
 
         unlink = args.format == "files"
         if args.interactive:
-            delete_interactive(groups, args.delete_report, unlink)
+            chosen = delete_interactive(groups, args.delete_report, unlink)
+            if not unlink and chosen:
+                rewrite_survivors(pages, chosen)
         elif cfg.delete_duplicates:
             confirm = "y"
             if not cfg.dry_run:
@@ -277,14 +367,9 @@ def main(argv: list[str] | None = None) -> int:
                 delete_duplicates(groups, cfg.dry_run,
                                   args.delete_report, unlink)
                 if not unlink and not cfg.dry_run:
-                    out = args.folder_path.rstrip("/") + "__dedup"
-                    dup_urls = [p for g in groups for p in g["members"][1:]]
-                    survivors = pages.join(
-                        spark.createDataFrame([(u,) for u in dup_urls],
-                                              "url string"),
-                        "url", "left_anti")
-                    survivors.write.mode("overwrite").parquet(out)
-                    print(f"Survivors written to: {out}")
+                    rewrite_survivors(
+                        pages,
+                        [p for g in groups for p in g["members"][1:]])
             else:
                 print("Deletion cancelled.")
         return 0

@@ -1,9 +1,12 @@
 """CLI argument surface — flag-for-flag parity with the reference
 (`/root/reference/duplicate_finder/cli_args.py:18-130`), plus the
 Spark-only knobs the engine needs (table format, master override,
-checkpoint dir). ``--threads/-j`` maps to local-mode cores and
-``spark.sql.shuffle.partitions`` instead of a thread pool
+checkpoint dir, group cap). ``--threads/-j`` maps to local-mode cores
+and ``spark.sql.shuffle.partitions`` instead of a thread pool
 (reference ``threads_count``, duplicate_finder_config.py:186-199).
+
+The FLAG NAMES and semantics are the shared public contract; the help
+prose here is this engine's own wording.
 """
 
 from __future__ import annotations
@@ -15,7 +18,8 @@ class ArgumentParserAdapter:
     def __init__(self) -> None:
         self.parser = argparse.ArgumentParser(
             prog="duplicate-finder-spark",
-            description="Script to find and delete duplicates of the files",
+            description="Find (and optionally remove) duplicate content"
+                        " with a Spark-backed pipeline",
             formatter_class=argparse.RawTextHelpFormatter,
         )
         self._add_arguments()
@@ -25,93 +29,94 @@ class ArgumentParserAdapter:
         p.add_argument(
             "folder_path",
             type=str,
-            help="Mandatory parameter: "
-                 "path to folder for searching duplicates.",
+            help="Directory (or table path, see --format) to scan.",
         )
 
         sort_group = p.add_mutually_exclusive_group()
         sort_group.add_argument(
             "--sort-by-group-size", "-g",
             action="store_true",
-            help="Optional: Sort duplicate groups by number"
-                 " of files in group (descending)",
+            help="Order the report by member count per group, largest"
+                 " groups first",
         )
         sort_group.add_argument(
             "--sort-by-file-size", "-s",
             action="store_true",
-            help="Optional: Sort duplicate groups by file size (descending)",
+            help="Order the report by byte size, biggest entries first",
         )
 
         p.add_argument(
             "--output", "-o",
             type=str,
-            help="Optional: path to output file (e.g., duplicates.txt)",
+            help="Write the duplicate-group report to this file as well"
+                 " as stdout",
         )
         p.add_argument(
             "--exclude", "-e",
             type=str,
             nargs="*",
             default=[],
-            help="Optional: list of exclude patterns (supports wildcards).\n"
-                 "Unix-style glob syntax, matched against full paths.",
+            help="Glob pattern(s); any path matching one is dropped AFTER\n"
+                 "includes are applied (full-path Unix-style matching,\n"
+                 "e.g. '*.log' or '**/.git/**').",
         )
         p.add_argument(
             "--include", "-i",
             type=str,
             nargs="*",
             default=[],
-            help="Optional: list of include patterns (supports wildcards).\n"
-                 "Unix-style glob syntax, matched against full paths.",
+            help="Glob pattern(s); when given, only paths matching at\n"
+                 "least one are scanned (full-path Unix-style matching).",
         )
         p.add_argument(
             "--delete", "-d",
             action="store_true",
-            help="Optional: delete duplicate files (keep first file in group)",
+            help="Remove every duplicate except the first member of each"
+                 " group",
         )
         p.add_argument(
             "--delete-report", "-r",
             type=str,
-            help="Optional: path to report file where deleted"
-                 " file paths will be saved",
+            help="Record each deletion (or failure) into this file",
         )
         p.add_argument(
             "--dry-run", "-n",
             action="store_true",
-            help="Optional: No action. Show a list of files to be deleted"
-                 " without actually deleting them",
+            help="Preview what --delete would remove; nothing is touched",
         )
         p.add_argument(
             "--interactive", "-t",
             action="store_true",
-            help="Optional: interactive mode (talk),"
-                 " select files to delete group by group",
+            help="Prompt per group: pick the member to keep, the rest are"
+                 " removed",
         )
         p.add_argument(
             "--threads", "-j",
             type=int,
             default=None,
-            help="Optional: parallelism (local-mode cores + shuffle"
-                 " partitions). Dynamically adjusted by default",
+            help="Parallelism: local-mode cores and shuffle partitions"
+                 " (auto when omitted)",
         )
         p.add_argument(
             "--min-size", "-m",
             type=str,
             default=None,
-            help="Optional: Minimum file size to consider for"
-                 " duplicate detection (e.g. 100K, 5M, 1G)",
+            help="Ignore content smaller than this (accepts 100K / 5M /"
+                 " 1G style values)",
         )
         p.add_argument(
             "--max-size", "-x",
             type=str,
             default=None,
-            help="Optional: Maximum file size to consider for"
-                 " duplicate detection (e.g. 100K, 5M, 1G)",
+            help="Ignore content larger than this (accepts 100K / 5M /"
+                 " 1G style values)",
         )
         p.add_argument(
             "--verify-content", "-v",
             action="store_true",
-            help="Optional: Compare files byte by byte to verify"
-                 " they are identical (default is to compare file sizes only)",
+            help="Byte-compare members before reporting (the Spark engine"
+                 " always groups\nby full SHA-256 of the exact bytes, so"
+                 " this is implied — kept for parity)",
         )
 
         # --- engine-only flags (no reference counterpart) -------------------
@@ -135,6 +140,15 @@ class ArgumentParserAdapter:
             type=str,
             default=None,
             help="Warehouse root for resumable stage checkpoints",
+        )
+        p.add_argument(
+            "--max-groups",
+            type=int,
+            default=None,
+            help="Cap the number of duplicate groups collected to the"
+                 " driver for the report\n(shows the first N under the"
+                 " selected ordering; deletion then applies to\nthose N"
+                 " only). Default: unlimited, like the reference",
         )
 
     def parse(self, argv: list[str] | None = None) -> argparse.Namespace:

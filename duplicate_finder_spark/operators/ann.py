@@ -52,13 +52,26 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
 
 def cosine_pairs_above(vectors: DataFrame, threshold: float,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       round_digits: int = 6) -> DataFrame:
+                       round_digits: int = 6,
+                       max_rows: int | None = 100_000) -> DataFrame:
     """→ (id_a, id_b, sim ≥ threshold): embedding near-dup pairs.
 
     All-pairs — exact but O(N²): this is the ORACLE BASELINE, kept only
     to pin the scale path's recall. For web scale use
     ``cosine_pairs_lsh`` (bucketed, hot-bucket-capped, same verify).
+
+    ``max_rows`` is an explicit size fence: pointing this at a corpus
+    above it raises loudly instead of detonating an N² cross-join
+    (pass None to bypass deliberately).
     """
+    if max_rows is not None:
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs_above is an O(N^2) oracle baseline: input "
+                f"has {n} rows > max_rows={max_rows}; use "
+                f"cosine_pairs_lsh for the scale path, or pass "
+                f"max_rows=None to force")
     a = vectors.select(F.col(id_col).alias("id_a"),
                        F.col(vec_col).cast("array<double>").alias("av"))
     b = vectors.select(F.col(id_col).alias("id_b"),

@@ -61,9 +61,20 @@ def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
     fingerprints in one block value) degrade O(s²)→O(s) star edges
     against the block's min-url representative. Star pairs still carry
     exact hamming (both fingerprints present) and pass the same filter,
-    so precision is unchanged; within a hot block, non-representative
-    pairs are reachable through the representative (connected components
-    merges them), which is the same contract the LSH path has.
+    so precision is unchanged.
+
+    Recall contract: EXACT (pigeonhole) while every block population is
+    ≤ ``cfg.hot_bucket_limit``. Inside a HOT block, a pair survives
+    directly or through representative edges only if the members are
+    within hamming_max of the block representative — a pair whose ONLY
+    shared block is hot and whose members both sit > hamming_max from
+    the representative is lost (rep edges above the threshold are
+    filtered, so connected components cannot bridge them). This is the
+    same degradation contract as the LSH candidate path, where the
+    verify stage prunes star edges below the Jaccard threshold. The
+    pinned recall-1.0 oracle (``__spark_entry__.py``
+    q_simhash_block_recall) holds because no sf0.01 block exceeds the
+    default limit.
     """
     if cfg.simhash_hamming_max >= n_blocks:
         raise ValueError("need hamming_max < n_blocks for exact recall")

@@ -29,7 +29,7 @@ import time
 from pyspark.sql import SparkSession
 
 from duplicate_finder_spark.config import PipelineConfig
-from duplicate_finder_spark.pipeline import run_resumable
+from duplicate_finder_spark.pipeline import config_fingerprint, run_resumable
 from duplicate_finder_spark.warehouse import get_warehouse
 
 
@@ -80,19 +80,25 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.warehouse,
             fmt="parquet" if args.format == "warc" else args.format)
 
+        input_id = args.input_id or args.input
         t0 = time.time()
-        decisions = run_resumable(spark, pages, cfg, wh,
-                                  input_id=args.input_id or args.input)
+        decisions = run_resumable(spark, pages, cfg, wh, input_id=input_id)
         manifest = wh.write(decisions, "decisions", stage="decisions",
-                            fingerprint=args.input_id or args.input)
+                            fingerprint=input_id)
         wall = round(time.time() - t0, 2)
 
+        # doc count from the signatures stage manifest — recounting the
+        # source would re-scan it (for WARC: re-read + re-parse +
+        # re-gunzip every segment) just for a throughput stat
+        sig_manifest = wh.manifest(
+            f"signatures_{config_fingerprint(cfg, input_id)}")
+        n_docs = sig_manifest.rows if sig_manifest else manifest.rows
         summary = {
             "rows": manifest.rows,
             "n_partitions": manifest.n_partitions,
             "skew_ratio": round(manifest.skew_ratio, 3),
             "wall_sec": wall,
-            "docs_per_sec": round(pages.count() / wall, 1) if wall else None,
+            "docs_per_sec": round(n_docs / wall, 1) if wall else None,
         }
         print(json.dumps(summary))
         return 0

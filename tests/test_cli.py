@@ -123,6 +123,62 @@ def test_warc_mode_dedup(spark, tmp_path: Path) -> None:
         "http://a.example/", "http://c.example/"]
 
 
+def test_interactive_parquet_rewrites_survivors(spark, tmp_path: Path) -> None:
+    """ADVICE r2: interactive 'deletion' on table input must actually
+    rewrite survivors (it used to be a silent no-op that reported
+    success)."""
+    rows = [("u1", "same text"), ("u2", "same text"), ("u3", "unique")]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string") \
+        .write.parquet(src)
+
+    # keep member [2] (u2) → u1 deleted
+    result = run_cli(src, "--format", "parquet", "--interactive",
+                     "--threads", "2", input_text="2\n")
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Deleted: u1" in result.stdout
+    assert f"Survivors written to: {src}__dedup" in result.stdout
+    out = spark.read.parquet(src + "__dedup")
+    assert sorted(r["url"] for r in out.collect()) == ["u2", "u3"]
+    assert spark.read.parquet(src).count() == 3  # input untouched
+
+
+def test_max_groups_caps_report(tmp_path: Path) -> None:
+    """--max-groups N collects only the first N groups and banners the
+    elision; without the flag output is uncapped (reference parity)."""
+    for i in range(4):
+        create_file(tmp_path / f"a{i}.txt", f"dupe-{i}")
+        create_file(tmp_path / f"b{i}.txt", f"dupe-{i}")
+    result = run_cli(str(tmp_path), "--max-groups", "2", "--threads", "2")
+    assert result.returncode == 0
+    assert "(showing first 2 of 4 groups" in result.stdout
+    assert "Group 1/2" in result.stdout and "Group 2/2" in result.stdout
+    assert "Group 3" not in result.stdout
+    # uncapped: all four groups, no banner
+    result2 = run_cli(str(tmp_path), "--threads", "2")
+    assert "showing first" not in result2.stdout
+    assert "Group 4/4" in result2.stdout
+
+
+def test_missing_and_corrupt_paths(tmp_path: Path) -> None:
+    """ADVICE r2: not-a-dir prints the reference's explicit ERROR and
+    exits clean; a genuinely corrupt input propagates with a nonzero
+    exit instead of masquerading as an empty scan."""
+    missing = tmp_path / "nope"
+    result = run_cli(str(missing), "--threads", "2")
+    assert result.returncode == 0
+    assert "is not a folder or doesn't exist" in result.stdout
+    assert "No files found or all files are excluded." in result.stdout
+
+    # corrupt parquet table → real failure, nonzero exit
+    bad = tmp_path / "badtable"
+    bad.mkdir()
+    (bad / "part-0.parquet").write_bytes(b"this is not parquet data")
+    result2 = run_cli(str(bad), "--format", "parquet", "--threads", "2")
+    assert result2.returncode != 0
+    assert "No files found" not in result2.stdout
+
+
 def test_parquet_mode_survivor_rewrite(spark, tmp_path: Path) -> None:
     """--format parquet: the web-scale path — dedups a pages table and
     writes survivors to <folder>__dedup instead of mutating input."""

@@ -241,6 +241,80 @@ def test_streaming_sessions_single_batch_matches_batch(spark, tmp_path):
                    (7, 3): (1, 0), (7, 4): (1, 0)}
 
 
+def _near_dup_stream_corpus():
+    """6 planted near-pairs + 8 unrelated docs + 1 pair separated by
+    more than the watermark. → [(url, ts, text)] and the late pair."""
+    docs = []
+    for g in range(6):
+        toks = [f"w{g}_{i}" for i in range(80)]
+        near = toks[:76] + [f"x{g}{i}" for i in range(4)]
+        docs.append((f"d{g}a", 0, " ".join(toks)))
+        docs.append((f"d{g}b", 10, " ".join(near)))
+    for u in range(8):
+        docs.append((f"u{u}", 5, " ".join(f"z{u}_{i}" for i in range(80))))
+    late_toks = [f"late_{i}" for i in range(80)]
+    docs.append(("late_a", 0, " ".join(late_toks)))
+    docs.append(("late_b", 120, " ".join(late_toks[:76]
+                                         + ["q1", "q2", "q3", "q4"])))
+    return docs
+
+
+def test_streaming_near_dup_matches_batch(spark, tmp_path):
+    """VERDICT r2 #6: WARC-style stream → incremental MinHash/LSH dedup
+    yields the SAME verified pair set as the batch near_dup_edges,
+    minus pairs whose members arrive further apart than the watermark
+    (state is bounded — the late pair is the proof)."""
+    from duplicate_finder_spark.config import PipelineConfig
+    from duplicate_finder_spark.pipeline import near_dup_edges
+    from duplicate_finder_spark.streaming.neardup import (StreamingNearDup,
+                                                          streaming_near_dup)
+
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32, jaccard_threshold=0.8)
+    docs = _near_dup_stream_corpus()
+    rows = [(u, T0 + dt.timedelta(minutes=m), t) for u, m, t in docs]
+    schema = "url string, warc_ts timestamp, text string"
+
+    # three arrival files: 'a' members, then 'b' members, then the rest
+    src = tmp_path / "pages_stream"
+    src.mkdir()
+    df = spark.createDataFrame(rows, schema)
+    batches = [df.filter(F.col("url").endswith("a")),
+               df.filter(F.col("url").endswith("b")
+                         & (F.col("url") != "late_b")),
+               df.filter(F.col("url").startswith("u")
+                         | (F.col("url") == "late_b"))]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    snd = StreamingNearDup(spark, cfg, str(tmp_path / "state"),
+                           watermark_minutes=60)
+    q = streaming_near_dup(stream, snd, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {(r["url_a"], r["url_b"]) for r in snd.edges().collect()}
+    batch_all = {(r["url_a"], r["url_b"])
+                 for r in near_dup_edges(df, cfg).collect()}
+    assert ("late_a", "late_b") in batch_all, "late pair must be a true dup"
+    assert got == batch_all - {("late_a", "late_b")}
+    # jaccard values identical to batch for shared pairs
+    got_j = {(r["url_a"], r["url_b"]): r["jaccard"]
+             for r in snd.edges().collect()}
+    batch_j = {(r["url_a"], r["url_b"]): r["jaccard"]
+               for r in near_dup_edges(df, cfg).collect()}
+    for p, j in got_j.items():
+        assert abs(j - batch_j[p]) < 1e-12
+
+    # compaction physically drops expired signatures
+    n_before = snd.stored_signatures().count()
+    assert n_before == len(docs)
+    snd._compact(max(r[1] for r in rows))
+    live = snd.stored_signatures().count()
+    assert live < n_before  # t=0 docs expired at horizon 120-60
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     from duplicate_finder_spark.operators.ann import (cosine_topk,
                                                       cosine_topk_ivf)

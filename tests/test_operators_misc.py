@@ -52,6 +52,19 @@ def test_cosine_topk_and_pairs(spark):
     assert (0, 3) in ids and (0, 2) not in ids
 
 
+def test_cosine_pairs_above_quadratic_fence(spark):
+    """The O(N^2) oracle baseline must refuse inputs above max_rows
+    loudly (VERDICT r2 #4) and still run when bypassed deliberately."""
+    import pytest
+    vecs = [(i, [float(i), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="O\\(N\\^2\\) oracle baseline"):
+        cosine_pairs_above(df, 0.5, max_rows=10)
+    assert cosine_pairs_above(df.limit(5), -1.0,
+                              max_rows=None).count() == 10  # C(5,2)
+    assert cosine_pairs_above(df, -1.0, max_rows=100).count() == 66
+
+
 def test_cosine_pairs_lsh_precision_and_recall(spark):
     """The bucketed pairs path: every emitted pair really is above the
     threshold (precision 1 — exact verify), and with generous LSH params
