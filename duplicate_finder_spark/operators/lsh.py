@@ -101,18 +101,29 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, threshold: float,
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     j_exact = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    # truncated estimate: bottom-k of the union (sketches are sorted, the
-    # union re-sorted JVM-side under the same signed-int64 order)
+    # truncated estimate: |bottomk(A∪B) ∩ skA ∩ skB| / k — the union
+    # has > k elements (at least one side truncated); sketches are
+    # sorted, the union re-sorted JVM-side under the same signed-int64
+    # order. Unbiased also for mixed pairs: a small doc's sketch IS its
+    # full set.
     union_bk = F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
     j_est = (F.size(F.array_intersect(union_bk,
                                       F.array_intersect("sk_a", "sk_b")))
              / F.lit(float(k)))
     is_exact = (F.col("n_a") <= k) & (F.col("n_b") <= k)
 
+    # plan shape: ONE pass of the pair join (same cost as the
+    # full-array verify it replaces), projected down to a NARROW scored
+    # table (urls + jaccard + flag) that is persisted — the
+    # decided/borderline branches below fan out from the cached narrow
+    # rows, never re-executing the join; the borderline re-verify joins
+    # the full shingle arrays for just its (usually empty) pair set.
     scored = (pairs.join(a, "url_a").join(b, "url_b")
-              .withColumn("jaccard", F.when(is_exact, j_exact)
-                                      .otherwise(j_est))
-              .withColumn("_exact", is_exact))
+              .select("url_a", "url_b",
+                      F.when(is_exact, j_exact).otherwise(j_est)
+                       .alias("jaccard"),
+                      is_exact.alias("_exact"))
+              .persist())
 
     decided = (scored
                .filter(F.col("_exact")
