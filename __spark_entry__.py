@@ -294,6 +294,43 @@ def q_cc_clusters(spark, sf_dir):
                          F.col("url").cast("long").alias("doc_id"))
 
 
+# sliding-window long docs: window w concatenates docs
+# [S*w, S*w + W) ordered by doc_id, so every window exceeds sketch_k
+# shingles (truncated regime) and adjacent windows have controlled
+# overlap — Δ=1 windows share 38/42 of their doc mass (j ≈ 0.9),
+# Δ=2 share 36/44 (j ≈ 0.82), Δ≥3 fall below threshold. This is the
+# driver-gate coverage for the verify stage's TRUNCATED sketch path
+# (bottom-k estimate + borderline exact re-verify): surviving pairs
+# land in the borderline band and are exact-verified, so membership
+# equals the DuckDB string-shingle oracle value-for-value.
+LONGDOC_W = 40
+LONGDOC_S = 2
+
+
+def q_sketch_verify_longdocs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    n_w = (n - LONGDOC_W) // LONGDOC_S + 1
+    wins = spark.range(n_w).select(F.col("id").alias("w"))
+    ld = (docs.join(
+            F.broadcast(wins),
+            (F.col("doc_id") >= F.col("w") * LONGDOC_S)
+            & (F.col("doc_id") < F.col("w") * LONGDOC_S + LONGDOC_W))
+          .groupBy("w")
+          .agg(F.array_join(
+              F.transform(
+                  F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                  lambda x: x["text"]), " ").alias("text"))
+          .select(F.format_string("%06d", "w").alias("url"), "text"))
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=JACCARD_T)
+    sigs = signatures(ld, cfg).persist()
+    out = verify_pairs(candidate_pairs(sigs, cfg), sigs,
+                       cfg.jaccard_threshold, cfg)
+    return out.select(F.col("url_a").cast("long").alias("window_a"),
+                      F.col("url_b").cast("long").alias("window_b"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < ANN_NQ), k=ANN_K)
@@ -553,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_df_cut_stats": q_ngram_df_cut_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "sketch_verify_longdocs": q_sketch_verify_longdocs,
         "cc_clusters": q_cc_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -811,6 +849,49 @@ def oracle_sql() -> dict[str, str]:
           FROM df
         """,
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        # truncated-sketch-path gate: string-shingle Jaccard over the
+        # same sliding-window long docs (all >sketch_k shingles); pair
+        # MEMBERSHIP matches because borderline pairs are exact-verified
+        # and estimate-decided pairs sit many sigma from the threshold
+        "sketch_verify_longdocs": rf"""
+          WITH n AS (SELECT count(*) AS c FROM documents),
+          wins AS (SELECT unnest(range(
+            ((SELECT c FROM n) - {LONGDOC_W}) // {LONGDOC_S} + 1)) AS w),
+          ld AS (
+            SELECT w, string_agg(text, ' ' ORDER BY doc_id) AS text
+            FROM wins JOIN documents
+              ON doc_id >= w * {LONGDOC_S}
+             AND doc_id < w * {LONGDOC_S} + {LONGDOC_W}
+            GROUP BY w
+          ),
+          toksrc AS (
+            SELECT w AS doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS t
+            FROM ld
+          ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+                   WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   ELSE [array_to_string(t[i:i+2], ' ')
+                         for i in range(1, len(t) - 1)] END)) AS s
+            FROM toksrc
+          ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ), jac AS (
+            SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS j
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+          )
+          SELECT id_a::BIGINT AS window_a, id_b::BIGINT AS window_b
+          FROM jac WHERE j >= {JACCARD_T}
+        """,
         "cc_clusters": _SHINGLES.replace(
             "WITH toksrc", "WITH RECURSIVE toksrc", 1) + f"""
           , pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {JACCARD_T}),

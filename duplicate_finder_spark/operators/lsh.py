@@ -84,6 +84,16 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, threshold: float,
       k-th smallest of each set, hence present in BOTH sketches);
     * truncated + estimate within verify_band → exact re-verify with the
       full arrays, for just that narrow band of pairs.
+
+    Plan gating: when NO doc can be truncated, the estimate/borderline
+    machinery must not cost anything — its branches would otherwise
+    re-scan the signature subtree (two extra Arrow passes when sigs are
+    unpersisted). ``signatures()`` emits a JVM-side ``n_tokens`` column
+    computed BEFORE the UDF; ``max(n_tokens)`` is an upper bound on
+    n_shingles and selecting only it prunes the UDF, so the probe here
+    is one cheap codegen'd scan. If the bound clears sketch_k the exact
+    single-join plan (identical shape/cost to the pre-sketch verify) is
+    returned outright.
     """
     k = cfg.sketch_k if cfg is not None else 512
     band = (cfg.verify_band if cfg is not None and cfg.verify_band is not None
@@ -101,6 +111,26 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, threshold: float,
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     j_exact = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+    if "n_tokens" in sigs.columns:
+        bound = sigs.agg(F.max("n_tokens")).first()[0]
+        if bound is not None and bound <= k:
+            # no doc can exceed sketch_k shingles: the full shingle
+            # array IS bounded by k, so join it raw — one exact pass,
+            # no extra branches, and no per-row array_sort for a
+            # sketch that would equal the full set anyway
+            fa = sigs.select(F.col("url").alias("url_a"),
+                             F.col("shingles").alias("sh_a"))
+            fb = sigs.select(F.col("url").alias("url_b"),
+                             F.col("shingles").alias("sh_b"))
+            finter = F.size(F.array_intersect("sh_a", "sh_b"))
+            funion = F.size("sh_a") + F.size("sh_b") - finter
+            return (pairs.join(fa, "url_a").join(fb, "url_b")
+                    .withColumn("jaccard",
+                                F.when(funion == 0, F.lit(1.0))
+                                 .otherwise(finter / funion))
+                    .filter(F.col("jaccard") >= threshold)
+                    .select("url_a", "url_b", "jaccard"))
     # truncated estimate: |bottomk(A∪B) ∩ skA ∩ skB| / k — the union
     # has > k elements (at least one side truncated); sketches are
     # sorted, the union re-sorted JVM-side under the same signed-int64

@@ -182,6 +182,11 @@ def signatures(pages: DataFrame, cfg: PipelineConfig,
     computed JVM-side — the verify stage ships THIS bounded column through
     the pair join, never the unbounded ``shingles`` array.  For docs with
     ≤ sketch_k shingles the sketch IS the (sorted) full set.
+
+    ``n_tokens`` is computed JVM-side BEFORE the signature UDF: a plan
+    that selects only it prunes the UDF entirely, so the verify stage's
+    "can any doc be truncated?" probe (max n_tokens, an upper bound on
+    n_shingles) is a cheap codegen'd scan, not an Arrow pass.
     """
     tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     sig = make_signature_udf(cfg.shingle_size, cfg.num_perm, cfg.seed)
@@ -189,8 +194,9 @@ def signatures(pages: DataFrame, cfg: PipelineConfig,
             .select(F.col(url_col).alias("url"),
                     tok_hashes.alias("_th"))
             .filter(F.size("_th") > 0)
+            .withColumn("n_tokens", F.size("_th"))
             .withColumn("_sig", sig("_th"))
-            .select("url",
+            .select("url", "n_tokens",
                     F.col("_sig.shingles").alias("shingles"),
                     F.col("_sig.minhash").alias("minhash"))
             .withColumn("n_shingles", F.size("shingles"))

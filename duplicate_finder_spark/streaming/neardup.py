@@ -50,7 +50,8 @@ from duplicate_finder_spark.operators.lsh import band_hashes, verify_pairs
 from duplicate_finder_spark.operators.minhash import signatures
 
 _SIG_SCHEMA = ("url string, ts timestamp, shingles array<long>, "
-               "minhash array<long>, n_shingles int, sketch array<long>")
+               "minhash array<long>, n_shingles int, sketch array<long>, "
+               "n_tokens int")
 _EDGE_SCHEMA = "url_a string, url_b string, jaccard double"
 
 
@@ -117,7 +118,8 @@ class StreamingNearDup:
                     .join(rows.select("url", "ts"), "url")
                     .select("url", "ts", "shingles", "minhash",
                             F.col("n_shingles").cast("int").alias(
-                                "n_shingles"), "sketch")
+                                "n_shingles"), "sketch",
+                            F.col("n_tokens").cast("int").alias("n_tokens"))
                     .persist())
         store = self._live_store(new_max_ts)
         sigs_all = sigs_new.unionByName(store)
