@@ -41,6 +41,7 @@ re-appended signatures are distinct()-ed at read.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -188,6 +189,8 @@ class StreamingNearDup:
         self.spark.read.parquet(self.edge_dir + "_tmp") \
             .write.mode("overwrite").parquet(self.edge_dir)
         live.unpersist()
+        shutil.rmtree(self.sig_dir + "_tmp", ignore_errors=True)
+        shutil.rmtree(self.edge_dir + "_tmp", ignore_errors=True)
         edges.unpersist()
 
 
