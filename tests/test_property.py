@@ -43,6 +43,96 @@ def test_lcs_matches_bruteforce(a, b):
     assert lcs_len(a, b) == _brute_lcs(a, b)
 
 
+# --- bottom-k sketch estimator (numpy mirror of operators/lsh.py) ----------
+#
+# The Spark verify stage works on int64 views of uint64 hashes with
+# SIGNED ascending order (array_sort). This mirror reproduces that
+# exactly: sketch = k smallest signed values; estimate =
+# |bottomk(skA ∪ skB) ∩ skA ∩ skB| / k.
+
+def _sketch(vals: np.ndarray, k: int) -> np.ndarray:
+    return np.sort(vals.astype(np.int64))[:k]
+
+
+def _estimate(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    ska, skb = _sketch(a, k), _sketch(b, k)
+    union_bk = np.sort(np.union1d(ska, skb))[:k]
+    inter = np.intersect1d(ska, skb)
+    return len(np.intersect1d(union_bk, inter)) / float(k)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31), st.integers(4, 64),
+       st.integers(0, 3))
+def test_bottomk_membership_lemma(seed, k, case):
+    """The estimator's correctness lemma: every element of A∩B that
+    lands in bottom-k(A∪B) is present in BOTH bottom-k sketches (it is
+    ≤ the k-th smallest of each set)."""
+    rng = np.random.RandomState(seed % 2**31)
+    n_a, n_b = (k * 3, k * 3) if case == 0 else \
+               (k // 2 + 1, k * 4) if case == 1 else \
+               (k * 2, k * 2) if case == 2 else (k + 1, k + 1)
+    shared = rng.randint(-2**62, 2**62, size=max(n_a, n_b) // 2,
+                         dtype=np.int64)
+    a = np.union1d(shared, rng.randint(-2**62, 2**62, size=n_a,
+                                       dtype=np.int64))
+    b = np.union1d(shared, rng.randint(-2**62, 2**62, size=n_b,
+                                       dtype=np.int64))
+    ska, skb = _sketch(a, k), _sketch(b, k)
+    union_bk = np.sort(np.union1d(a, b))[:k]
+    true_inter = np.intersect1d(a, b)
+    for e in np.intersect1d(union_bk, true_inter):
+        assert e in ska and e in skb
+    # and the engine's sketch-only union equals the true union's
+    # bottom-k (every bottom-k(A∪B) element is in skA or skB)
+    assert np.array_equal(np.sort(np.union1d(ska, skb))[:k], union_bk)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31),
+       st.floats(min_value=0.05, max_value=0.95))
+def test_bottomk_estimate_tracks_jaccard(seed, target_j):
+    """With k=256, the estimate must land within 4σ (σ ≈ 1/√k) of the
+    true Jaccard for random sets ~4k large — the bound the verify
+    band's 3σ default relies on (deterministic given the seed)."""
+    k = 256
+    rng = np.random.RandomState(seed % 2**31)
+    n_union = 4 * k
+    union = rng.randint(-2**62, 2**62, size=n_union, dtype=np.int64)
+    union = np.unique(union)
+    # shuffle before splitting: np.unique sorts, and assigning the
+    # SMALLEST values to the shared part would correlate membership
+    # with hash rank — exactly the bias the estimator assumes away
+    # (uniform hashes are independent of set membership)
+    rng.shuffle(union)
+    n_shared = int(len(union) * target_j)
+    shared = union[:n_shared]
+    rest = union[n_shared:]
+    half = len(rest) // 2
+    a = np.union1d(shared, rest[:half])
+    b = np.union1d(shared, rest[half:])
+    true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    est = _estimate(a, b, k)
+    assert abs(est - true_j) <= 4.0 / k ** 0.5, (true_j, est)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31), st.integers(8, 48))
+def test_bottomk_exact_when_sets_fit(seed, k):
+    """Sets with ≤ k elements: sketch == full set and the 'exact'
+    formula (|skA∩skB| / (nA+nB−inter)) IS the true Jaccard."""
+    rng = np.random.RandomState(seed % 2**31)
+    a = np.unique(rng.randint(-2**62, 2**62, size=k, dtype=np.int64))
+    b = np.unique(np.concatenate([
+        a[: max(1, k // 3)],
+        rng.randint(-2**62, 2**62, size=k // 2 + 1, dtype=np.int64)]))[:k]
+    ska, skb = _sketch(a, k), _sketch(b, k)
+    inter = len(np.intersect1d(ska, skb))
+    j_formula = inter / (len(a) + len(b) - inter)
+    true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    assert j_formula == true_j
+
+
 @settings(max_examples=200, deadline=None)
 # bound keeps n·mult below 2^53: the reference parses via float
 # (utils.py:19-59), so exactness above float precision is out of scope —
