@@ -341,7 +341,32 @@ def main(argv: list[str] | None = None) -> int:
         # --verify-content is subsumed: clusters group by the full
         # SHA-256 of the exact bytes (see operators/exact.py V1 note),
         # so members are byte-identical with or without the flag.
-        clusters = ex.exact_clusters(pages, cfg)
+        if cfg.checkpoint_dir:
+            # resumable CLI: the hash-cluster stage checkpoints through
+            # the warehouse keyed by (config, input path, scan
+            # membership) — a rerun after a crash (or a second report
+            # over the same scan) reads the stage instead of re-hashing
+            # the corpus. Membership = (row count, url-hash sum): one
+            # column-pruned scan that never reads content, so adds/
+            # removes/renames invalidate the checkpoint; an in-place
+            # same-url content edit does not — drop the warehouse dir
+            # to force a full re-hash in that case.
+            from duplicate_finder_spark.pipeline import config_fingerprint
+            from duplicate_finder_spark.warehouse import get_warehouse
+            wh = get_warehouse(spark, cfg.checkpoint_dir)
+            m = pages.select("url").agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("url").cast("decimal(30,0)")).alias("h")
+            ).first()
+            fp = config_fingerprint(
+                cfg, f"{args.folder_path}:{m['n']}:{m['h']}")
+            clusters, resumed = wh.checkpoint_or_compute(
+                f"cli_clusters_{fp}", fp,
+                lambda: ex.exact_clusters(pages, cfg))
+            if resumed:
+                print("Resumed hash clusters from checkpoint.")
+        else:
+            clusters = ex.exact_clusters(pages, cfg)
         groups, total_groups = collect_groups(clusters, cfg,
                                               args.max_groups)
         if not groups:

@@ -179,6 +179,43 @@ def test_missing_and_corrupt_paths(tmp_path: Path) -> None:
     assert "No files found" not in result2.stdout
 
 
+def test_checkpoint_dir_resumes_clusters(tmp_path: Path) -> None:
+    """--checkpoint-dir makes the CLI's hash-cluster stage resumable:
+    run 2 over the same scan reads the warehouse stage (manifest
+    untouched) instead of re-hashing."""
+    import json
+
+    scan = tmp_path / "scan"
+    scan.mkdir()
+    create_file(scan / "a.txt", "dupe")
+    create_file(scan / "b.txt", "dupe")
+    wh = tmp_path / "wh"   # outside the scanned folder
+    r1 = run_cli(str(scan), "--checkpoint-dir", str(wh),
+                 "--threads", "2")
+    assert r1.returncode == 0 and "Group 1/1" in r1.stdout
+    assert "Resumed hash clusters" not in r1.stdout
+    tables = [d for d in wh.iterdir() if d.name.startswith("cli_clusters_")]
+    assert len(tables) == 1
+    snap = next(d for d in tables[0].iterdir()
+                if d.name.startswith("snapshot-"))
+    before = json.loads((snap / "manifest.json").read_text())["written_at"]
+
+    r2 = run_cli(str(scan), "--checkpoint-dir", str(wh),
+                 "--threads", "2")
+    assert r2.returncode == 0 and "Group 1/1" in r2.stdout
+    assert "Resumed hash clusters from checkpoint." in r2.stdout
+    after = json.loads((snap / "manifest.json").read_text())["written_at"]
+    assert after == before, "stage must be read, not recomputed"
+
+    # membership change (new file) invalidates the checkpoint
+    create_file(scan / "c.txt", "dupe")
+    r3 = run_cli(str(scan), "--checkpoint-dir", str(wh),
+                 "--threads", "2")
+    assert r3.returncode == 0
+    assert "Resumed hash clusters" not in r3.stdout
+    assert "Group 1/1 (3 file(s)" in r3.stdout
+
+
 def test_parquet_mode_survivor_rewrite(spark, tmp_path: Path) -> None:
     """--format parquet: the web-scale path — dedups a pages table and
     writes survivors to <folder>__dedup instead of mutating input."""
