@@ -73,6 +73,7 @@ def collect_groups(clusters: DataFrame, cfg: PipelineConfig,
                 F.max("size").alias("size"),
                 F.count("*").alias("k")))
     total = None
+    cached = None
     if max_groups is not None:
         if cfg.sort_by_group_size:
             order = [F.desc("k"), F.col("members")[0]]
@@ -80,10 +81,12 @@ def collect_groups(clusters: DataFrame, cfg: PipelineConfig,
             order = [F.desc("size"), F.col("members")[0]]
         else:
             order = [F.col("members")[0]]
-        agg = agg.persist()
-        total = agg.count()
-        agg = agg.orderBy(*order).limit(max_groups)
+        cached = agg.persist()
+        total = cached.count()
+        agg = cached.orderBy(*order).limit(max_groups)
     rows = agg.collect()
+    if cached is not None:
+        cached.unpersist()
     groups = [{"members": list(r["members"]), "size": int(r["size"]),
                "k": int(r["k"])} for r in rows]
     if cfg.sort_by_group_size:
