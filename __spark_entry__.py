@@ -331,6 +331,34 @@ def q_sketch_verify_longdocs(spark, sf_dir):
                       F.col("url_b").cast("long").alias("window_b"))
 
 
+def q_lsh_hot_bucket_clusters(spark, sf_dir):
+    """Hot-bucket degradation, driver-gated end-to-end: every run of 25
+    consecutive doc_ids shares one text (the run leader's), so each LSH
+    band bucket holds 25 identical signatures — far above the forced
+    hot_bucket_limit=5 — and the pairing MUST take the O(s) star-edge
+    path (operators/lsh.py:55-57). Star edges verify at jaccard 1.0 and
+    connected components recovers exactly the 25-doc groups; the oracle
+    is the closed-form grouping (cluster = run leader), so any loss of
+    connectivity under skew degradation breaks the hash match."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    leader = (F.col("doc_id") - F.col("doc_id") % 25).alias("leader")
+    leaders = docs.select(leader, "text").filter(
+        F.col("doc_id") % 25 == 0).withColumnRenamed("text", "ltext")
+    cloned = (docs.select("doc_id", leader)
+              .join(F.broadcast(leaders), "leader")
+              .select(F.format_string("%012d", "doc_id").alias("url"),
+                      F.col("ltext").alias("text")))
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=JACCARD_T, hot_bucket_limit=5)
+    sigs = signatures(cloned, cfg).persist()
+    edges = verify_pairs(candidate_pairs(sigs, cfg), sigs,
+                         cfg.jaccard_threshold, cfg) \
+        .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+    assign = connected_components(edges)
+    return assign.select(F.col("cluster_id").cast("long").alias("cluster_id"),
+                         F.col("url").cast("long").alias("doc_id"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < ANN_NQ), k=ANN_K)
@@ -591,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_df_cut_stats": q_ngram_df_cut_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "sketch_verify_longdocs": q_sketch_verify_longdocs,
+        "lsh_hot_bucket_clusters": q_lsh_hot_bucket_clusters,
         "cc_clusters": q_cc_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -849,6 +878,56 @@ def oracle_sql() -> dict[str, str]:
           FROM df
         """,
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        # hot-bucket path: the engine must recover the 25-doc
+        # identical-text runs THROUGH the star-edge degradation, AND
+        # merge runs whose leader texts are themselves exact/near dups
+        # (the corpus is a dedup fixture — leaders repeat) — so the
+        # oracle builds components over the leader graph (string-shingle
+        # jaccard ≥ T, recursive CTE like cc_clusters) and fans each
+        # component's min leader out to its runs' members. Blank-text
+        # runs are excluded, mirroring signatures()' zero-token rule.
+        "lsh_hot_bucket_clusters": rf"""
+          WITH RECURSIVE leaders AS (
+            SELECT doc_id AS leader, text FROM documents
+            WHERE doc_id % 25 = 0 AND trim(text) != ''),
+          toksrc AS (
+            SELECT leader AS doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS t
+            FROM leaders
+          ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   ELSE [array_to_string(t[i:i+2], ' ')
+                         for i in range(1, len(t) - 1)] END)) AS s
+            FROM toksrc
+          ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ), jac AS (
+            SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS j
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+          ),
+          pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {JACCARD_T}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT leader AS node, leader AS r FROM leaders
+            UNION
+            SELECT e.dst AS node, reach.r
+            FROM reach JOIN edges e ON e.src = reach.node
+          ),
+          comp AS (SELECT node AS leader, min(r) AS cluster_id
+                   FROM reach GROUP BY node)
+          SELECT comp.cluster_id::BIGINT AS cluster_id,
+                 d.doc_id::BIGINT AS doc_id
+          FROM documents d
+          JOIN comp ON comp.leader = d.doc_id - d.doc_id % 25
+        """,
         # truncated-sketch-path gate: string-shingle Jaccard over the
         # same sliding-window long docs (all >sketch_k shingles); pair
         # MEMBERSHIP matches because borderline pairs are exact-verified
