@@ -122,6 +122,33 @@ def test_cosine_pairs_lsh_never_cross_joins(spark):
         or "BroadcastNestedLoopJoin" in baseline
 
 
+def test_truncation_probe_prunes_the_udf(parquet_pages):
+    """verify_pairs' 'can any doc be truncated?' probe must be a pure
+    JVM scan: n_tokens is computed BEFORE the signature UDF, so a
+    max(n_tokens) aggregate prunes the Arrow projection entirely —
+    otherwise the probe would cost a full signature pass per call."""
+    cfg = PipelineConfig(num_perm=16, lsh_bands=4)
+    probe = signatures(parquet_pages, cfg).agg(F.max("n_tokens"))
+    plan = _plan(probe)
+    assert "EvalPython" not in plan, plan
+
+
+def test_verify_fast_path_single_join_pass(spark, parquet_pages):
+    """With no truncatable doc (bound ≤ sketch_k) verify_pairs must
+    return the single-pass exact plan: no union branches, no
+    InMemoryRelation (the persisted scored table exists only on the
+    truncated path), exactly two joins (pairs⋈a⋈b)."""
+    from duplicate_finder_spark.operators.lsh import verify_pairs
+    # fixture docs exceed 512 tokens, so force the no-truncation regime
+    cfg = PipelineConfig(num_perm=16, lsh_bands=4, sketch_k=1_000_000)
+    sigs = signatures(parquet_pages, cfg)
+    pairs = spark.createDataFrame([("a", "b")], "url_a string, url_b string")
+    out = verify_pairs(pairs, sigs, 0.8, cfg)
+    plan = _plan(out)
+    assert "Union" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+
+
 def test_no_row_python_anywhere_in_contract(spark):
     """Global input_hint invariant: every driver-contract query plans its
     Python (if any) as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
