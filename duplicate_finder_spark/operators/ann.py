@@ -263,11 +263,17 @@ def _nearest_cells(side: DataFrame, cents: DataFrame, n_probe: int,
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
                     n_cells: int = 16, n_probe: int = 4, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    round_digits: int = 6, kmeans_iters: int = 2) -> DataFrame:
+                    round_digits: int = 6, kmeans_iters: int = 2,
+                    centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
     inverted lists, probe each query's ``n_probe`` nearest cells, exact
     cosine re-rank within the probed lists. Same output schema as
     ``cosine_topk``; recall grows with n_probe/n_cells.
+
+    Repeated-query workloads should train once and pass ``centroids``
+    (persisted or warehouse-checkpointed output of ``ivf_centroids``) —
+    the k-means refinement then amortizes across every query batch
+    instead of re-running per call.
 
     Scale shape: corpus→cell assignment is one map-side N×M scoring pass
     + a combine-friendly argmax; the candidate join is an equi-join on
@@ -275,8 +281,8 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
     data-dependent — AQE's skew-join split is the backstop, and n_cells
     sizes the lists (≈N/n_cells each).
     """
-    cents = ivf_centroids(vectors, n_cells, seed, id_col, vec_col,
-                          kmeans_iters)
+    cents = centroids if centroids is not None else ivf_centroids(
+        vectors, n_cells, seed, id_col, vec_col, kmeans_iters)
     v_cells = _nearest_cells(vectors, cents, 1, id_col, vec_col,
                              "neighbor_id")
     q_cells = _nearest_cells(queries, cents, n_probe, id_col, vec_col,

@@ -366,6 +366,16 @@ def test_ivf_kmeans_refinement_reduces_quantization_error(spark):
 
     raw, refined = mean_best_sim(0), mean_best_sim(2)
     assert refined >= raw - 1e-9, (raw, refined)
+    # pre-trained centroids reproduce the per-call result exactly
+    from duplicate_finder_spark.operators.ann import cosine_topk_ivf
+    q = emb.filter(F.col("vec_id") < 4)
+    pre = ivf_centroids(emb, 8, kmeans_iters=2).persist()
+    a = sorted(map(tuple, cosine_topk_ivf(
+        emb, q, k=5, n_cells=8, centroids=pre).collect()))
+    b = sorted(map(tuple, cosine_topk_ivf(
+        emb, q, k=5, n_cells=8, kmeans_iters=2).collect()))
+    assert a == b
+    pre.unpersist()
     # determinism: same iters → identical centroid arrays
     a = sorted(map(tuple, (r.cv for r in
                            ivf_centroids(emb, 8, kmeans_iters=2).collect())))
