@@ -310,6 +310,15 @@ LONGDOC_S = 2
 def q_sketch_verify_longdocs(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     n = docs.count()
+    # size fence: the docs × windows range join below is a broadcast
+    # nested-loop by construction (inequality predicate) — O(N · N/S)
+    # row comparisons. That is the point at harness scale (it BUILDS the
+    # long-doc fixture), but fail loudly instead of letting it run
+    # against a big sf (same guard as q_simhash_block_recall).
+    if n > 50_000:
+        raise ValueError(
+            f"q_sketch_verify_longdocs window-builder range join fenced "
+            f"at 50000 docs (got {n}); run it on a small sf only")
     n_w = (n - LONGDOC_W) // LONGDOC_S + 1
     wins = spark.range(n_w).select(F.col("id").alias("w"))
     ld = (docs.join(
@@ -1147,6 +1156,18 @@ def oracle_sql() -> dict[str, str]:
         # Only n_hits stays pinned: it is the empirical property of the
         # seeded approximate config on this corpus (recall follows as
         # n_hits / n_truth, computed, not pinned).
+        #
+        # PINNED-CONSTANT PROVENANCE (maintainers): these n_hits values
+        # are measured under EXACTLY this config tuple and are a
+        # deliberate tripwire — any change to it re-measures them:
+        #   n_hits=95  ← cosine_topk_lsh(k=10, n_planes=3, n_tables=16),
+        #   n_hits=91  ← cosine_topk_ivf(k=10, n_cells=8, n_probe=6,
+        #                2 Lloyd refinement iterations),
+        # both with nq=10 queries (vec_id < 10), xxhash64-seeded
+        # hyperplanes/centroid init (operators/ann.py, seed=42), on the
+        # sf0.01 embeddings table (500 × 64-dim). A benign seeding/rounding/
+        # tie-break change in the approximate path flips the gate red BY
+        # DESIGN: re-measure, confirm recall did not regress, re-pin.
         "ann_lsh_recall": f"""
           WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                      FROM embeddings WHERE vec_id < {ANN_NQ}),

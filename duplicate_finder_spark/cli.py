@@ -347,27 +347,49 @@ def main(argv: list[str] | None = None) -> int:
         if cfg.checkpoint_dir:
             # resumable CLI: the hash-cluster stage checkpoints through
             # the warehouse keyed by (config, input path, scan
-            # membership) — a rerun after a crash (or a second report
-            # over the same scan) reads the stage instead of re-hashing
-            # the corpus. Membership = (row count, url-hash sum): one
-            # column-pruned scan that never reads content, so adds/
-            # removes/renames invalidate the checkpoint; an in-place
-            # same-url content edit does not — drop the warehouse dir
-            # to force a full re-hash in that case.
+            # membership). For --format files the membership probe folds
+            # in content-sensitive metadata the binaryFile LISTING gives
+            # for free (sum(length), max(modificationTime) — no content
+            # read): an in-place same-url edit changes mtime (and
+            # usually length), so the checkpoint invalidates instead of
+            # serving stale clusters to a later --delete. Table/WARC
+            # inputs have no cheap content metadata; there the probe is
+            # membership-only (count + url-hash sum) and a resume prints
+            # a visible staleness warning.
             from duplicate_finder_spark.pipeline import config_fingerprint
             from duplicate_finder_spark.warehouse import get_warehouse
             wh = get_warehouse(spark, cfg.checkpoint_dir)
-            m = pages.select("url").agg(
-                F.count("*").alias("n"),
-                F.sum(F.xxhash64("url").cast("decimal(30,0)")).alias("h")
-            ).first()
-            fp = config_fingerprint(
-                cfg, f"{args.folder_path}:{m['n']}:{m['h']}")
+            if args.format == "files":
+                listing = (spark.read.format("binaryFile")
+                           .option("recursiveFileLookup", "true")
+                           .load(args.folder_path))
+                m = listing.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.xxhash64("path").cast("decimal(30,0)"))
+                     .alias("h"),
+                    F.sum("length").alias("b"),
+                    F.max(F.col("modificationTime").cast("long"))
+                     .alias("mt")).first()
+                probe = (f"{args.folder_path}:{m['n']}:{m['h']}"
+                         f":{m['b']}:{m['mt']}")
+            else:
+                m = pages.select("url").agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.xxhash64("url").cast("decimal(30,0)"))
+                     .alias("h")).first()
+                probe = f"{args.folder_path}:{m['n']}:{m['h']}"
+            fp = config_fingerprint(cfg, probe)
             clusters, resumed = wh.checkpoint_or_compute(
                 f"cli_clusters_{fp}", fp,
                 lambda: ex.exact_clusters(pages, cfg))
             if resumed:
                 print("Resumed hash clusters from checkpoint.")
+                if args.format != "files":
+                    print("WARNING: checkpoint matched on scan "
+                          "membership only; in-place content edits "
+                          "since the checkpointed scan are NOT "
+                          "detected for this format — delete the "
+                          "checkpoint dir to force a re-hash.")
         else:
             clusters = ex.exact_clusters(pages, cfg)
         groups, total_groups = collect_groups(clusters, cfg,

@@ -179,4 +179,14 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, threshold: float,
                                .otherwise(binter / bunion))
                   .filter(F.col("jaccard") >= threshold)
                   .select("url_a", "url_b", "jaccard"))
-    return decided.unionByName(reverified)
+    # materialize the NARROW verified-edge union eagerly, then release
+    # the persisted scored table — without this, every caller (and in
+    # particular every streaming micro-batch) leaked one candidate-
+    # pair-sized cached dataset for the life of the session. The
+    # localCheckpoint blocks are bounded by the (much smaller) verified
+    # edge set and are GC'd with the returned DataFrame; the batch
+    # pipeline writes edges to the warehouse right after this anyway,
+    # so their non-recomputability on executor loss is a non-issue.
+    out = decided.unionByName(reverified).localCheckpoint(eager=True)
+    scored.unpersist()
+    return out

@@ -84,10 +84,13 @@ class StreamingNearDup:
     # -- state readers ------------------------------------------------------
 
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        # only the MISSING-dir case means "first batch, no state yet" —
+        # a transient I/O error or corrupt parquet must propagate, not
+        # silently masquerade as an empty store (which would drop
+        # cross-batch pairs and re-append already-emitted edges)
+        if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
 
     def stored_signatures(self) -> DataFrame:
         return self._read_or_empty(self.sig_dir, _SIG_SCHEMA).distinct()

@@ -215,6 +215,22 @@ def test_checkpoint_dir_resumes_clusters(tmp_path: Path) -> None:
     assert "Resumed hash clusters" not in r3.stdout
     assert "Group 1/1 (3 file(s)" in r3.stdout
 
+    # CONTENT edit in place (same file set) also invalidates: the files
+    # probe folds in sum(length) + max(modificationTime) from the
+    # binaryFile listing, so a rerun must NOT serve the stale clusters
+    # (which, with --delete, could remove a file that is no longer a
+    # duplicate)
+    import os
+    import time as _time
+    (scan / "c.txt").write_text("no longer a dupe")
+    future = _time.time() + 5
+    os.utime(scan / "c.txt", (future, future))  # robust to coarse mtime
+    r4 = run_cli(str(scan), "--checkpoint-dir", str(wh),
+                 "--threads", "2")
+    assert r4.returncode == 0
+    assert "Resumed hash clusters" not in r4.stdout
+    assert "Group 1/1 (2 file(s)" in r4.stdout
+
 
 def test_parquet_mode_survivor_rewrite(spark, tmp_path: Path) -> None:
     """--format parquet: the web-scale path — dedups a pages table and

@@ -382,3 +382,23 @@ def test_ivf_kmeans_refinement_reduces_quantization_error(spark):
     b = sorted(map(tuple, (r.cv for r in
                            ivf_centroids(emb, 8, kmeans_iters=2).collect())))
     assert a == b
+
+
+def test_near_dup_state_read_narrows_exceptions(spark, tmp_path):
+    """ADVICE r3: a MISSING state dir means 'first batch' (empty frame);
+    a corrupt/unreadable state dir is a REAL failure and must propagate
+    — silently treating it as empty would drop cross-batch pairs and
+    re-append already-emitted edges."""
+    import pytest
+
+    from duplicate_finder_spark.config import PipelineConfig
+    from duplicate_finder_spark.streaming.neardup import StreamingNearDup
+
+    snd = StreamingNearDup(spark, PipelineConfig(), str(tmp_path / "st"))
+    assert snd.edges().count() == 0          # missing dir → empty, fine
+
+    corrupt = tmp_path / "st" / "edges"
+    corrupt.mkdir(parents=True)
+    (corrupt / "part-00000.parquet").write_bytes(b"NOT A PARQUET FILE")
+    with pytest.raises(Exception):
+        snd.edges().count()

@@ -126,6 +126,52 @@ def test_sketch_bounds_verify_payload_on_long_docs(spark):
         assert abs(got[p] - j) <= cfg.verify_band + 1e-9
 
 
+def test_verify_pairs_releases_all_persists(spark, monkeypatch):
+    """VERDICT r3 wrong #1: the truncated path persisted its scored
+    table and never released it — one candidate-pair-sized cache pinned
+    per call (per MICRO-BATCH in streaming). Spy on every persist made
+    inside verify_pairs and assert each is unpersisted by return, while
+    the decisions stay correct (i.e. the release does not silently
+    recompute-and-diverge)."""
+    try:  # PySpark 4: concrete sessions hand out the classic subclass,
+        # which overrides persist — patch the class actually in play
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover — older pyspark
+        from pyspark.sql import DataFrame
+
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=0.8, sketch_k=256)
+    base = [f"t{i}" for i in range(600)]
+    rows = [
+        ("base", " ".join(base)),
+        ("dup", " ".join(base[:595] + [f"d{i}" for i in range(5)])),
+        ("far", " ".join(base[:150] + [f"f{i}" for i in range(450)])),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    sigs = signatures(df, cfg)
+    assert sigs.agg(F.max("n_shingles")).first()[0] > cfg.sketch_k
+
+    captured = []
+    orig_persist = DataFrame.persist
+
+    def spy(self, *a, **k):
+        out = orig_persist(self, *a, **k)
+        captured.append(out)
+        return out
+
+    monkeypatch.setattr(DataFrame, "persist", spy)
+    pairs = spark.createDataFrame(
+        [("base", "dup"), ("base", "far")], "url_a string, url_b string")
+    got = {(r["url_a"], r["url_b"])
+           for r in verify_pairs(pairs, sigs, 0.8, cfg).collect()}
+    assert got == {("base", "dup")}
+    assert captured, "truncated path must have exercised the persist"
+    for cached in captured:
+        lvl = cached.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), \
+            "verify_pairs must unpersist every DataFrame it persists"
+
+
 def test_sketch_verify_identical_to_exact_when_not_truncated(spark, small_pages):
     """Docs under sketch_k shingles must be verified bit-identically to
     the full-array exact formula (the driver-oracle regime: every

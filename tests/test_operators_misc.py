@@ -454,3 +454,19 @@ def test_multimodal_resize_and_frames(spark):
                                        key=lambda x: x.frame_no)] == \
         [0, 1, 2, 3]
     assert len(by_doc[2]) == 1           # min one frame
+
+
+def test_longdocs_harness_fenced_at_50k_docs(spark, tmp_path):
+    """VERDICT r3 wrong #2: the long-doc window builder is a broadcast
+    nested-loop range join by construction; it must refuse to run over a
+    big corpus instead of quietly going O(N^2/S)."""
+    import pytest
+
+    import __spark_entry__ as entry
+
+    (spark.range(50_001)
+     .selectExpr("id AS doc_id", "'w' AS text")
+     .write.mode("overwrite")
+     .parquet(str(tmp_path / "documents.parquet")))
+    with pytest.raises(ValueError, match="fenced at 50000"):
+        entry.q_sketch_verify_longdocs(spark, str(tmp_path))

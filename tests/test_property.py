@@ -247,3 +247,88 @@ def test_decoders_never_raise_on_garbage(payload):
     assert img is None or img.ndim == 3
     wav = decode_wav(payload)
     assert wav is None or (wav[0].ndim == 1 and wav[1] > 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 8), st.data())
+def test_png_roundtrip_exact_all_filters(w, h, data):
+    """encode_png → decode_image is the identity on any uint8 RGB image
+    for ANY per-row filter choice — this drives every defilter branch
+    (None/Sub/Up/Average/Paeth) of the real stdlib-zlib+numpy decoder."""
+    from duplicate_finder_spark.operators.multimodal import (decode_image,
+                                                             encode_png)
+    px = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                            max_size=w * h * 3))
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=1,
+                                 max_size=h))
+    img = np.array(px, dtype=np.uint8).reshape(h, w, 3)
+    out = decode_image(encode_png(img, row_filters=filters))
+    assert out is not None and (out == img).all()
+
+
+def _author_png(w, h, color_type, pixels, plte=b""):
+    """Hand-author a filter-0 PNG of any color type for decoder tests."""
+    import struct
+    import zlib
+
+    from duplicate_finder_spark.operators.multimodal import (_PNG_CHANNELS,
+                                                             _PNG_SIG,
+                                                             _png_chunk)
+    ch = _PNG_CHANNELS[color_type]
+    raw = b"".join(b"\x00" + pixels[y * w * ch:(y + 1) * w * ch]
+                   for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte:
+        body += _png_chunk(b"PLTE", plte)
+    return (_PNG_SIG + body + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_all_color_types_decode_to_rgb():
+    """Gray / palette / gray+alpha / RGBA PNGs all decode to HxWx3 RGB
+    with the documented conversions (gray replicated, alpha dropped,
+    palette looked up)."""
+    from duplicate_finder_spark.operators.multimodal import decode_image
+
+    # type 0 (gray): value replicated across RGB
+    out = decode_image(_author_png(2, 1, 0, bytes([7, 200])))
+    assert (out == np.array([[[7] * 3, [200] * 3]])).all()
+    # type 4 (gray+alpha): alpha dropped
+    out = decode_image(_author_png(1, 2, 4, bytes([9, 255, 31, 0])))
+    assert (out == np.array([[[9] * 3], [[31] * 3]])).all()
+    # type 6 (RGBA): alpha dropped
+    out = decode_image(_author_png(1, 1, 6, bytes([1, 2, 3, 77])))
+    assert (out == np.array([[[1, 2, 3]]])).all()
+    # type 3 (palette)
+    plte = bytes([10, 20, 30, 40, 50, 60])
+    out = decode_image(_author_png(2, 1, 3, bytes([1, 0]), plte))
+    assert (out == np.array([[[40, 50, 60], [10, 20, 30]]])).all()
+    # palette index past PLTE end → None, not a crash
+    assert decode_image(_author_png(1, 1, 3, bytes([5]), plte)) is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 8), st.booleans(), st.data())
+def test_gif_roundtrip_exact(w, h, interlace, data):
+    """encode_gif → decode_image is the identity (≤256 distinct colors by
+    construction), including the interlaced row order."""
+    from duplicate_finder_spark.operators.multimodal import (decode_image,
+                                                             encode_gif)
+    px = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                            max_size=w * h * 3))
+    img = np.array(px, dtype=np.uint8).reshape(h, w, 3)
+    out = decode_image(encode_gif(img, interlace=interlace))
+    assert out is not None and (out == img).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"]),
+       st.binary(max_size=120))
+def test_png_gif_garbage_after_magic_never_raises(magic, tail):
+    """Payloads that LOOK like PNG/GIF but are corrupt must decode to
+    None (or a valid image), never raise — same F6 posture as the other
+    decoders."""
+    from duplicate_finder_spark.operators.multimodal import decode_image
+    img = decode_image(magic + tail)
+    assert img is None or (img.ndim == 3 and img.shape[2] == 3)
