@@ -108,13 +108,20 @@ class ParquetWarehouse:
     # -- core API --------------------------------------------------------------
 
     def write(self, df: DataFrame, name: str, stage: str = "",
-              fingerprint: str = "") -> StageManifest:
-        """Write df as the new current snapshot of ``name``."""
+              fingerprint: str = "",
+              partition_by: list[str] | None = None) -> StageManifest:
+        """Write df as the new current snapshot of ``name``.
+        ``partition_by`` hash/dir-partitions the snapshot (Iceberg
+        partition-spec parity) so downstream reads with an equality /
+        IN filter on those columns prune to just the touched dirs."""
         table = self._table_dir(name)
         os.makedirs(table, exist_ok=True)
         snap_id = "snapshot-" + uuid.uuid4().hex[:12]
         snap = os.path.join(table, snap_id)
-        df.write.mode("overwrite").parquet(os.path.join(snap, "data"))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(snap, "data"))
         back = self.spark.read.parquet(os.path.join(snap, "data"))
         parts = _partition_histogram(back)
         rows = sum(parts)
@@ -242,8 +249,12 @@ class IcebergWarehouse:
         return f"{self.prefix}.{name}"
 
     def write(self, df: DataFrame, name: str, stage: str = "",
-              fingerprint: str = "") -> StageManifest:
-        df.writeTo(self._fq(name)).using("iceberg").createOrReplace()
+              fingerprint: str = "",
+              partition_by: list[str] | None = None) -> StageManifest:
+        w = df.writeTo(self._fq(name)).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
         back = self.spark.table(self._fq(name))
         parts = _partition_histogram(back)
         manifest = StageManifest(stage=stage or name,

