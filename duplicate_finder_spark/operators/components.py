@@ -62,7 +62,8 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          warehouse=None, checkpoint_every: int = 0,
-                         table_prefix: str = "cc_round") -> DataFrame:
+                         table_prefix: str = "cc_round",
+                         gc_rounds: bool = True) -> DataFrame:
     """edges(src, dst) undirected → assignments (url, cluster_id) where
     cluster_id is the component's minimum url. Every node appearing in an
     edge gets a row (representatives map to themselves).
@@ -79,6 +80,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     different edges can never false-resume (the algorithm is
     deterministic per input, so stale later rounds stay consistent).
     In-session default (checkpoint_every=0) keeps localCheckpoint.
+
+    Round-table GC (VERDICT r3 #7): once the run CONVERGES, every round
+    table except the highest completed one is dropped (``gc_rounds``,
+    default on) — a long-lived warehouse no longer accumulates
+    ``<prefix>_rN`` tables from every finished CC run. The kept table
+    is the post-convergence edge set (retention-contract parity with
+    the other stages); stale deeper-round tables left by an earlier
+    longer run under the same prefix are swept too. A run that stops by
+    max_iter WITHOUT converging (i.e. a crash-resume candidate) keeps
+    all its round tables.
     """
     # eager=False: the checkpoint materializes inside the SAME job as the
     # round's convergence checksum — one driver round-trip per round, not
@@ -94,18 +105,27 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         n0, h0 = _checksum(e)
         base_fp = f"cc:{n0}:{h0}"
     prev = None
+    kept_round = 0
+    converged = False
     for i in range(1, max_iter + 1):
         if reliable and i % checkpoint_every == 0:
             prev_e = e
             e, _resumed = warehouse.checkpoint_or_compute(
                 f"{table_prefix}_r{i}", f"{base_fp}:r{i}",
                 lambda: _small_star(_large_star(prev_e)))
+            kept_round = i
         else:
             e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if reliable and gc_rounds and converged:
+        for j in range(1, max_iter + 1):
+            name = f"{table_prefix}_r{j}"
+            if j != kept_round and warehouse.exists(name):
+                warehouse.drop(name)
     # post-convergence: star edges child→root
     roots = e.select(F.col("dst").alias("url")).distinct() \
         .join(e.select(F.col("src").alias("url")).distinct(),

@@ -296,23 +296,67 @@ def test_full_pipeline_clusters_match_truth(spark, small_pages):
 
 def test_simhash_hot_block_star_edges(spark):
     """A mega-block (N identical fingerprints > hot_bucket_limit) must
-    produce O(N) star edges, not O(N²) all-pairs — and stay connected
-    through the representative."""
+    produce O(N) edges (star to the representative + adjacent-order
+    chain), not O(N²) all-pairs — and stay connected."""
     n = 30
     text = " ".join(f"w{i}" for i in range(50))
     rows = [(f"u{i:04d}", text) for i in range(n)]
     df = spark.createDataFrame(rows, "url string, text string")
     cfg = PipelineConfig(simhash_hamming_max=3, hot_bucket_limit=5)
     pairs = simhash_pairs(simhash(df), cfg).collect()
-    # star: every member pairs with the min-url representative only
-    assert len(pairs) == n - 1          # not n*(n-1)/2 = 435
-    assert all(p["url_a"] == "u0000" for p in pairs)
+    # O(N): star (n-1) + chain (n-1), overlapping on the first pair —
+    # nowhere near n*(n-1)/2 = 435 all-pairs
+    assert len(pairs) == 2 * (n - 1) - 1
+    star = [p for p in pairs if p["url_a"] == "u0000"]
+    assert len(star) == n - 1, "every member must reach the rep"
     assert all(p["hamming"] == 0 for p in pairs)
-    # connectivity: one component over the star edges
+    # connectivity: one component over the edges
     edges = spark.createDataFrame(
         [(p["url_a"], p["url_b"]) for p in pairs], "src string, dst string")
     assert connected_components(edges).select("cluster_id") \
         .distinct().count() == 1
+
+
+def test_simhash_hot_block_chain_recovers_far_from_rep_pair(spark):
+    """VERDICT r3 #8 done-criterion: a hot-block pair whose members are
+    > hamming_max from the block REPRESENTATIVE but ≤ hamming_max from
+    EACH OTHER must survive pairing and clustering — the adjacent-order
+    chain edges carry it; star-only degradation lost it. Precision
+    stays exact: nothing above hamming_max is emitted."""
+    base = 0x1234                      # shared block-0 value → hot bucket
+    fp = {
+        "a00": base | sum(1 << b for b in (33, 35, 37, 39, 41)),  # rep R
+        "m01": base | (1 << 36),                                  # A
+        "m02": base | (1 << 20),                                  # B
+        "w01": base | sum(1 << b for b in (42, 43, 44, 45)),
+        "z00": base | sum(1 << b for b in range(48, 52)),
+        "z01": base | sum(1 << b for b in range(52, 56)),
+        "z02": base | sum(1 << b for b in range(56, 60)),
+        "z03": base | sum(1 << b for b in range(60, 63)),
+    }
+
+    def ham(x, y):
+        return bin(fp[x] ^ fp[y]).count("1")
+
+    # preconditions: A-B is the ONLY true pair; both far from the rep
+    assert ham("m01", "m02") == 2
+    assert ham("a00", "m01") > 3 and ham("a00", "m02") > 3
+    for u in fp:
+        for v in fp:
+            if u < v and {u, v} != {"m01", "m02"}:
+                assert ham(u, v) > 3, (u, v)
+
+    sims = spark.createDataFrame(list(fp.items()),
+                                 "url string, simhash long")
+    cfg = PipelineConfig(simhash_hamming_max=3, hot_bucket_limit=3)
+    pairs = simhash_pairs(sims, cfg).collect()
+    assert {(p["url_a"], p["url_b"], p["hamming"]) for p in pairs} \
+        == {("m01", "m02", 2)}
+    edges = spark.createDataFrame(
+        [(p["url_a"], p["url_b"]) for p in pairs], "src string, dst string")
+    clusters = {r["url"]: r["cluster_id"]
+                for r in connected_components(edges).collect()}
+    assert clusters["m01"] == clusters["m02"] == "m01"
 
 
 def test_simhash_small_blocks_still_all_pairs(spark):

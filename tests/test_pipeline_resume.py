@@ -120,9 +120,11 @@ def test_cc_reliable_round_checkpoint_resume(spark, tmp_path):
                  for n in ("cc_round_r1", "cc_round_r2")}
 
     # full rerun: resumes r1/r2 (manifests untouched), finishes the rest
+    # (gc_rounds off here so the resume evidence stays inspectable)
     got = {(r["url"], r["cluster_id"])
            for r in connected_components(edges, warehouse=wh,
-                                         checkpoint_every=1).collect()}
+                                         checkpoint_every=1,
+                                         gc_rounds=False).collect()}
     assert got == want
     for name, ts in ts_before.items():
         assert wh.manifest(name).written_at == ts, f"{name} was recomputed"
@@ -133,11 +135,55 @@ def test_cc_reliable_round_checkpoint_resume(spark, tmp_path):
         [("z0", "z1")], "src string, dst string"))
     got2 = {(r["url"], r["cluster_id"])
             for r in connected_components(edges2, warehouse=wh,
-                                          checkpoint_every=1).collect()}
+                                          checkpoint_every=1,
+                                          gc_rounds=False).collect()}
     want2 = {(r["url"], r["cluster_id"])
              for r in connected_components(edges2).collect()}
     assert got2 == want2
     assert wh.manifest("cc_round_r1").written_at > ts_before["cc_round_r1"]
+
+
+def test_cc_round_table_gc_after_convergence(spark, tmp_path):
+    """VERDICT r3 #7: a CONVERGED reliable run sweeps its round tables
+    (and stale deeper ones from an earlier longer run), keeping only the
+    highest completed round; a truncated (non-converged) run keeps all
+    of them for crash resume."""
+    import os
+
+    from duplicate_finder_spark.operators.components import \
+        connected_components
+    from duplicate_finder_spark.warehouse import get_warehouse
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)],
+        "src string, dst string")
+    wh = get_warehouse(spark, str(tmp_path / "whgc"))
+
+    def round_tables():
+        return sorted(d for d in os.listdir(str(tmp_path / "whgc"))
+                      if d.startswith("cc_round_r"))
+
+    # truncated run: no convergence → nothing GC'd
+    connected_components(edges, max_iter=2, warehouse=wh,
+                         checkpoint_every=1)
+    assert round_tables() == ["cc_round_r1", "cc_round_r2"]
+
+    # converged default run: only the final round table survives
+    want = {(r["url"], r["cluster_id"])
+            for r in connected_components(edges).collect()}
+    got = {(r["url"], r["cluster_id"])
+           for r in connected_components(edges, warehouse=wh,
+                                         checkpoint_every=1).collect()}
+    assert got == want
+    left = round_tables()
+    assert len(left) == 1, f"stale round tables not GC'd: {left}"
+    kept = int(left[0].rsplit("r", 1)[1])
+    assert kept >= 3, "kept table must be the final round"
+    # a rerun over the same input still works after the sweep
+    got2 = {(r["url"], r["cluster_id"])
+            for r in connected_components(edges, warehouse=wh,
+                                          checkpoint_every=1).collect()}
+    assert got2 == want
 
 
 def test_iceberg_missing_catalog_clean_error(spark):
