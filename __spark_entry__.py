@@ -597,6 +597,46 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("doc_id", "n_bytes", key.alias("feature_key"))
 
 
+def q_png_decode_features(spark, sf_dir):
+    """REAL PNG decode driver-gated end-to-end (VERDICT r3 next #1): a
+    deterministic solid-color PNG is synthesized per doc (dimensions and
+    RGB derived from doc_id; the row filter CYCLES through all five
+    types 0-4, so the gate exercises Sub/Up/Average/Paeth defiltering,
+    not just the trivial path), pushed through the Arrow-batched
+    ``extract_features`` where ``decode_image`` must decode the actual
+    zlib-compressed pixels. For a solid h×w image of color (r,g,b) the
+    pixel-statistics feature is closed-form — [h/4096, w/4096, r/255,
+    g/255, b/255, 0, 0, 0] — so DuckDB reproduces the expected key from
+    doc_id alone; a decoder that falls back to the sha256 stub (or
+    mis-defilters a single byte) hash-mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from duplicate_finder_spark.operators.multimodal import encode_png
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 1 + i % 5, 1 + (i // 5) % 5
+                color = [i % 256, (i * 7) % 256, (i * 13) % 256]
+                img = np.full((h, w, 3), color, dtype=np.uint8)
+                payloads.append(encode_png(img, row_filters=[i % 5]))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_features(pages)
+    key = F.array_join(
+        F.transform("feature",
+                    lambda x: F.round(x * 1000000).cast("int")
+                    .cast("string")), ",")
+    return feats.select("doc_id", key.alias("feature_key"))
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -644,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dup_groups": q_events_dup_groups,
         "simhash_block_recall": q_simhash_block_recall,
         "multimodal_features": q_multimodal_features,
+        "png_decode_features": q_png_decode_features,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_pairs_lsh_recall": q_embedding_pairs_lsh_recall,
@@ -1041,6 +1082,30 @@ def oracle_sql() -> dict[str, str]:
                               AS INTEGER) AS VARCHAR)
                     for i in range(1, 9)], ',') AS feature_key
           FROM documents
+        """,
+        # the REAL PNG decode gate: the expected pixel-statistics
+        # feature of a solid h×w (r,g,b) image is closed-form in
+        # doc_id — [h/4096, w/4096, r/255, g/255, b/255, 0, 0, 0],
+        # each rounded to 6 decimals then scaled to an integer key.
+        # None of the values can tie at the 7th decimal (h/4096·1e6 and
+        # k·1e6/255 are never exactly .5), so Python round (half-even)
+        # and DuckDB round (half-away) agree digit-for-digit.
+        "png_decode_features": """
+          WITH f AS (
+            SELECT doc_id,
+                   1 + doc_id % 5 AS h, 1 + (doc_id // 5) % 5 AS w,
+                   doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+                   (doc_id * 13) % 256 AS b
+            FROM documents)
+          SELECT doc_id,
+                 concat_ws(',',
+                   CAST(round(1000000 * round(h / 4096.0, 6)) AS INT),
+                   CAST(round(1000000 * round(w / 4096.0, 6)) AS INT),
+                   CAST(round(1000000 * round(r / 255.0, 6)) AS INT),
+                   CAST(round(1000000 * round(g / 255.0, 6)) AS INT),
+                   CAST(round(1000000 * round(b / 255.0, 6)) AS INT),
+                   0, 0, 0) AS feature_key
+          FROM f
         """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,

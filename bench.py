@@ -53,17 +53,29 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # per-query best-of-2 (VERDICT r3 #6): one timed pass per query let
+    # a single host hiccup on this shared VM (documented 2-4x swings)
+    # masquerade as a round-over-round regression on untouched code.
+    # Both walls are reported; the min is the per-query signal.
     timings: dict[str, float] = {}
+    all_walls: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        # noop sink forces FULL evaluation of every output column —
-        # count() would let Catalyst prune unreferenced UDF columns and
-        # under-report scan+compute cost
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # queries are self-contained: drop any cache a query persisted so
-        # the next one is measured cold, not against a shrinking heap
-        spark.catalog.clearCache()
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            # noop sink forces FULL evaluation of every output column —
+            # count() would let Catalyst prune unreferenced UDF columns
+            # and under-report scan+compute cost
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            walls.append(round(time.time() - t0, 3))
+            # queries are self-contained: drop any cache a query
+            # persisted so every pass is measured cold, not against a
+            # shrinking heap (cached plans also match structurally —
+            # pass 2 would otherwise silently reuse pass 1's persists)
+            spark.catalog.clearCache()
+        timings[name] = min(walls)
+        all_walls[name] = walls
 
     dedup_secs = (timings["exact_dup_decisions"]
                   + timings["minhash_lsh_pairs"] + timings["cc_clusters"])
@@ -76,6 +88,7 @@ def main() -> None:
         "value": value,
         "unit": "docs/sec",
         "queries": timings,
+        "queries_all_walls": all_walls,
         "total_sec": round(sum(timings.values()), 3),
         "n_docs": n_docs,
         "cpus": int(cpus),

@@ -9,7 +9,14 @@ Usage: PYTHONPATH=/root/repo python tools/bench_scaling.py \
 
 Variants: 'persist' (default) materializes MinHash signatures once —
 max absolute throughput; 'recompute' leaves them unpersisted (3× the
-embarrassingly parallel UDF work) — measures compute scaling.
+embarrassingly parallel UDF work) — measures compute scaling;
+'stages' (VERDICT r3 #4) times each pipeline stage separately (exact /
+signatures / candidates / verify / cc / decisions) at both core counts
+and reports PER-STAGE scaling efficiency — the diagnostic that names
+which stage loses parallel efficiency as the corpus grows. Stage
+boundaries are persisted, so each stage is charged exactly once; the
+absolute total differs slightly from the fused pipeline (that is what
+'persist' measures) but the 8-vs-32 ratio per stage is like-for-like.
 """
 
 from __future__ import annotations
@@ -122,6 +129,74 @@ def run_once(cpus: int, cfg: PipelineConfig, persist: bool = True,
             "n_docs": n_docs, "n_decisions": n_decisions}
 
 
+def _staged_walls(spark, cfg: PipelineConfig) -> dict[str, float]:
+    """One staged pass: materialize each stage to the noop sink behind a
+    persist() boundary, so a stage's wall covers ITS work only (noop
+    forces full evaluation; count() would prune UDF columns)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    walls: dict[str, float] = {}
+    kept = []
+
+    def clock(name, df, persist=True):
+        if persist:
+            df = df.persist()
+            kept.append(df)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        walls[name] = round(time.time() - t0, 2)
+        return df
+
+    pages = spark.read.parquet(DATA)
+    exact_cl = clock("exact", ex.exact_clusters(pages, cfg))
+    sigs = clock("signatures", signatures(pages, cfg))
+    pairs = clock("candidates", candidate_pairs(sigs, cfg))
+    # verify_pairs runs its truncation probe at call time — that is
+    # part of the stage's cost, so the clock starts before the call
+    t0 = time.time()
+    near = verify_pairs(pairs, sigs, cfg.jaccard_threshold, cfg).persist()
+    kept.append(near)
+    near.write.format("noop").mode("overwrite").save()
+    walls["verify"] = round(time.time() - t0, 2)
+    edges = exact_edges(exact_cl).unionByName(
+        near.select(F.col("url_a").alias("src"),
+                    F.col("url_b").alias("dst")))
+    t0 = time.time()
+    assign = connected_components(edges).persist()
+    kept.append(assign)
+    assign.write.format("noop").mode("overwrite").save()
+    walls["cc"] = round(time.time() - t0, 2)
+    ranked = assign.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy("url"))) \
+        .withColumn("size", F.lit(0).cast("long"))
+    clock("decisions", decide(ranked), persist=False)
+    for df in kept:
+        df.unpersist()
+    walls["total"] = round(sum(v for k, v in walls.items()
+                               if k != "total"), 2)
+    return walls
+
+
+def run_once_staged(cpus: int, cfg: PipelineConfig) -> dict:
+    from pyspark.sql import functions as F
+
+    from duplicate_finder_spark.session import get_spark
+    spark = get_spark(app_name=f"bench-stages-{cpus}",
+                      master=f"local[{cpus}]", shuffle_partitions=cpus)
+    n_docs = spark.read.parquet(DATA).count()
+    # warmup: UDF daemons + JVM JIT + pull the input into page cache
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(100_000).repartition(cpus).select(_warm("id")) \
+        .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(DATA).write.format("noop").mode("overwrite").save()
+    walls = _staged_walls(spark, cfg)
+    spark.catalog.clearCache()
+    spark.stop()
+    return {"cpus": cpus, "n_docs": n_docs, "stage_walls": walls}
+
+
 def cpu_ceiling() -> float:
     """Measured pure-CPU 8→32-worker scaling efficiency of THIS host —
     the ceiling any workload can reach here. Sub-1.0 on this box: the
@@ -176,12 +251,66 @@ def _burn_mem(n: int) -> float:
     return s
 
 
+def main_stages(n_rows: int, cfg: PipelineConfig) -> None:
+    """Per-stage scaling diagnosis (VERDICT r3 #4): counterbalanced
+    8→32→32→8 staged sessions, per-stage best wall per config,
+    per-stage N→4N efficiency — names the stage that loses parallel
+    efficiency with corpus size."""
+    sessions = []
+    for cpus in (8, 32, 32, 8):
+        pre = cpu_ceiling()
+        r = run_once_staged(cpus, cfg)
+        r["cpu_ceiling_pre"] = pre
+        sessions.append(r)
+    best: dict[int, dict[str, float]] = {}
+    for r in sessions:
+        acc = best.setdefault(r["cpus"], {})
+        for k, v in r["stage_walls"].items():
+            acc[k] = min(acc.get(k, v), v)
+    stages = [k for k in best[8] if k != "total"]
+    eff = {k: round(best[8][k] / best[32][k] / 4.0, 3) for k in
+           stages + ["total"] if best[32][k]}
+    out = {"variant": "stages", "n_rows": n_rows,
+           "local8": best[8], "local32": best[32],
+           "stage_efficiency": eff,
+           "cpu_ceilings": [s["cpu_ceiling_pre"] for s in sessions],
+           "sessions": sessions,
+           "run_at": time.strftime("%Y-%m-%d %H:%M:%S")}
+    print(json.dumps(out))
+    os.makedirs("/root/repo/BENCH/runs", exist_ok=True)
+    raw = time.strftime("/root/repo/BENCH/runs/stages_%Y%m%d_%H%M%S.json")
+    with open(raw, "w") as f:
+        json.dump(out, f, indent=1)
+    rows = "\n".join(
+        f"| {k} | {best[8][k]} | {best[32][k]} | {eff.get(k, '—')} |"
+        for k in stages + ["total"])
+    md = f"""# BENCH per-stage scaling run (raw)
+
+Per-stage walls (s), best of two counterbalanced sessions per config,
+{n_rows:,} docs; stage boundaries persisted so each stage is charged
+once. efficiency = (wall8/wall32)/4.
+
+| stage | local[8] | local[32] | efficiency |
+|---|---|---|---|
+{rows}
+
+CPU-ceiling windows (session order 8,32,32,8):
+{[s['cpu_ceiling_pre'] for s in sessions]}.
+Raw JSON: {raw.rsplit('/', 1)[1]} under BENCH/runs/.
+"""
+    with open("/root/repo/BENCH/LAST_STAGES.md", "w") as f:
+        f.write(md)
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     variant = sys.argv[2] if len(sys.argv) > 2 else "persist"
     persist = variant != "recompute"
     ensure_data(n_rows)
     cfg = PipelineConfig(num_perm=128, lsh_bands=32, jaccard_threshold=0.8)
+    if variant == "stages":
+        main_stages(n_rows, cfg)
+        return
     # COUNTERBALANCED session order 8→32→32→8, one timed pass per
     # session: this shared-VM host drifts minute to minute (measured
     # pure-CPU ceilings swing 0.49–0.80 within an hour), so a sequential
