@@ -637,6 +637,57 @@ def q_png_decode_features(spark, sf_dir):
     return feats.select("doc_id", key.alias("feature_key"))
 
 
+def q_streaming_neardup_pairs(spark, sf_dir):
+    """The r4 STREAMING near-dup store driver-gated end-to-end: the
+    corpus arrives as three micro-batches (doc_id % 3) through a real
+    writeStream/foreachBatch run — warehouse-snapshot base + bucketed
+    delta state, mid-stream compaction included (compact_every=2) —
+    and the accumulated edge set must equal the BATCH pipeline's pair
+    set value-for-value (same exact n-gram oracle as minhash_lsh_pairs:
+    with an unexpired watermark, incremental new-vs-store pairing over
+    micro-batches covers exactly the batch pair set, each pair found
+    when its later member arrives). The url-hash batch split scatters
+    near-dup pair members across different micro-batches, so the
+    store-lookup (cross-batch) path is load-bearing, not incidental."""
+    import shutil
+    import tempfile
+
+    from duplicate_finder_spark.streaming.neardup import (
+        StreamingNearDup, streaming_near_dup)
+
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "text")
+    n = docs.count()
+    if n > 50_000:
+        raise ValueError(
+            f"q_streaming_neardup_pairs harness fenced at 50000 docs "
+            f"(got {n}); run it on a small sf only")
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=JACCARD_T)
+    root = tempfile.mkdtemp(prefix="snd_gate_")
+    try:
+        src = f"{root}/src"
+        for b in range(3):
+            docs.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == b) \
+                .coalesce(1).write.parquet(f"{src}/b{b}")
+        snd = StreamingNearDup(spark, cfg, f"{root}/state",
+                               watermark_minutes=10_000_000,
+                               compact_every=2, edge_buckets=8)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        q = streaming_near_dup(stream, snd, f"{root}/ckpt")
+        q.awaitTermination()
+        rows = [(int(r["url_a"]), int(r["url_b"]),
+                 round(r["jaccard"], 6))
+                for r in snd.edges().collect()]   # tiny: the pair set
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id_a long, doc_id_b long, jaccard double")
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -685,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_block_recall": q_simhash_block_recall,
         "multimodal_features": q_multimodal_features,
         "png_decode_features": q_png_decode_features,
+        "streaming_neardup_pairs": q_streaming_neardup_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_pairs_lsh_recall": q_embedding_pairs_lsh_recall,
@@ -928,6 +980,10 @@ def oracle_sql() -> dict[str, str]:
           FROM df
         """,
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        # the streaming store must accumulate EXACTLY the batch pair
+        # set (unexpired watermark ⇒ incremental pairing covers every
+        # pair when its later member arrives) — same exact oracle
+        "streaming_neardup_pairs": _JACCARD_PAIRS_SQL,
         # hot-bucket path: the engine must recover the 25-doc
         # identical-text runs THROUGH the star-edge degradation, AND
         # merge runs whose leader texts are themselves exact/near dups
