@@ -18,7 +18,7 @@ Skew is handled EXPLICITLY (north rule), not left to luck:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.config import PipelineConfig
@@ -35,13 +35,28 @@ def band_hashes(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def candidate_pairs(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """→ distinct (url_a, url_b), url_a < url_b."""
+    """→ distinct (url_a, url_b), url_a < url_b.
+
+    Plan shape (r4 — this stage was the measured scaling limiter at
+    0.37 N→4N efficiency, BENCH/runs/stages_20260817_111342.json): the
+    bucket census is a partial-aggregating ``groupBy`` instead of a
+    window — the old plan exchanged AND SORTED the full exploded band
+    table (docs × bands rows) just to annotate per-bucket count/min.
+    The census ships only (band, band_hash) partials, its
+    ``count > 1`` filter leaves just the COLLISION buckets (tiny at
+    real dup rates), and AQE sees that size at runtime and broadcasts
+    the join-back — the band table itself is never exchanged on the
+    happy path; only collision-member rows reach the self-join. On a
+    boilerplate-heavy corpus where the collision census outgrows the
+    broadcast threshold, AQE falls back to a shuffle join, which is the
+    old plan's cost class — the degradation is graceful, not a cliff.
+    """
     bands = band_hashes(sigs, cfg)
-    w = Window.partitionBy("band", "band_hash")
-    bands = (bands
-             .withColumn("bucket_size", F.count("*").over(w))
-             .withColumn("bucket_rep", F.min("url").over(w))
-             .filter(F.col("bucket_size") > 1))
+    census = (bands.groupBy("band", "band_hash")
+              .agg(F.count("*").alias("bucket_size"),
+                   F.min("url").alias("bucket_rep"))
+              .filter(F.col("bucket_size") > 1))
+    bands = bands.join(census, ["band", "band_hash"])
 
     small = bands.filter(F.col("bucket_size") <= cfg.hot_bucket_limit)
     hot = bands.filter(F.col("bucket_size") > cfg.hot_bucket_limit)

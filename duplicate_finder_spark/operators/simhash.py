@@ -93,11 +93,20 @@ def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
                 .filter(F.col("simhash") != 0)
                 .select("url", "simhash",
                         F.posexplode(blocks).alias("block", "block_val")))
-    w = Window.partitionBy("block", "block_val")
-    exploded = (exploded
-                .withColumn("block_size", F.count("*").over(w))
-                .withColumn("block_rep", F.min("url").over(w))
-                .filter(F.col("block_size") > 1))
+    # block census as a partial-aggregating groupBy, not a window (same
+    # r4 plan shape as lsh.candidate_pairs: no full-table sort; the
+    # collision-only census is tiny at real dup rates, so AQE
+    # broadcasts the join-back). min(struct(url, simhash)) carries the
+    # representative's fingerprint out of the same single aggregate
+    # (urls are unique, so the struct min IS the min-url row).
+    census = (exploded.groupBy("block", "block_val")
+              .agg(F.count("*").alias("block_size"),
+                   F.min(F.struct("url", "simhash")).alias("rep"))
+              .filter(F.col("block_size") > 1)
+              .select("block", "block_val", "block_size",
+                      F.col("rep.url").alias("block_rep"),
+                      F.col("rep.simhash").alias("sh_rep")))
+    exploded = exploded.join(census, ["block", "block_val"])
 
     small = exploded.filter(F.col("block_size") <= cfg.hot_bucket_limit)
     hot = exploded.filter(F.col("block_size") > cfg.hot_bucket_limit)
@@ -113,11 +122,8 @@ def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
                    .select("url_a", "sh_a", "url_b", "sh_b"))
 
     # star edges: every hot-block member pairs with the representative
-    # only — O(s) rows instead of O(s²)
-    rep_sh = F.min(F.when(F.col("url") == F.col("block_rep"),
-                          F.col("simhash"))).over(w)
-    pairs_hot = (hot.withColumn("sh_rep", rep_sh)
-                 .filter(F.col("url") != F.col("block_rep"))
+    # only — O(s) rows instead of O(s²); sh_rep rode in on the census
+    pairs_hot = (hot.filter(F.col("url") != F.col("block_rep"))
                  .select(F.col("block_rep").alias("url_a"),
                          F.col("sh_rep").alias("sh_a"),
                          F.col("url").alias("url_b"),

@@ -161,3 +161,37 @@ def test_no_row_python_anywhere_in_contract(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_lsh_candidate_census_aggregates_not_windows(parquet_pages):
+    """r4 scaling fix: the LSH bucket census must be a partial-
+    aggregating groupBy (no Window sort over the full exploded band
+    table), and at normal dup rates AQE must BROADCAST the tiny
+    collision-only census back onto the band table — the band table
+    itself is never exchanged on the happy path."""
+    from duplicate_finder_spark.operators.lsh import candidate_pairs
+
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=0.8)
+    pairs = candidate_pairs(signatures(parquet_pages, cfg), cfg)
+    assert "Window" not in _plan(pairs, "extended")
+    pairs.write.format("noop").mode("overwrite").save()
+    final = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, \
+        "AQE must broadcast the collision census at this scale"
+
+
+def test_simhash_census_aggregates_not_windows(parquet_pages):
+    """Same census shape for the SimHash block join; only the hot-block
+    chain ordering may use a window (it runs over hot members only)."""
+    from duplicate_finder_spark.operators.simhash import (simhash,
+                                                          simhash_pairs)
+
+    cfg = PipelineConfig(simhash_hamming_max=3)
+    pairs = simhash_pairs(simhash(parquet_pages), cfg)
+    plan = _plan(pairs, "extended")
+    # every surviving window is a chain-edge lag; the census count/min
+    # must plan as (partial-aggregating) hash aggregates, not windows
+    offenders = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln and "lag(" not in ln]
+    assert not offenders, offenders[:3]

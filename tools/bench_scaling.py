@@ -159,6 +159,12 @@ def _staged_walls(spark, cfg: PipelineConfig) -> dict[str, float]:
     kept.append(near)
     near.write.format("noop").mode("overwrite").save()
     walls["verify"] = round(time.time() - t0, 2)
+    # release consumed intermediates eagerly: the fat signature blocks
+    # (and the pair table) are dead weight past this point, and at 2M
+    # docs keeping every stage pinned starves execution memory
+    # (UNABLE_TO_ACQUIRE) under 32 concurrent tasks
+    sigs.unpersist()
+    pairs.unpersist()
     edges = exact_edges(exact_cl).unionByName(
         near.select(F.col("url_a").alias("src"),
                     F.col("url_b").alias("dst")))
@@ -167,6 +173,8 @@ def _staged_walls(spark, cfg: PipelineConfig) -> dict[str, float]:
     kept.append(assign)
     assign.write.format("noop").mode("overwrite").save()
     walls["cc"] = round(time.time() - t0, 2)
+    exact_cl.unpersist()
+    near.unpersist()
     ranked = assign.withColumn(
         "rank", F.row_number().over(
             Window.partitionBy("cluster_id").orderBy("url"))) \
