@@ -63,7 +63,8 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          warehouse=None, checkpoint_every: int = 0,
                          table_prefix: str = "cc_round",
-                         gc_rounds: bool = True) -> DataFrame:
+                         gc_rounds: bool = True,
+                         input_fp: str | None = None) -> DataFrame:
     """edges(src, dst) undirected → assignments (url, cluster_id) where
     cluster_id is the component's minimum url. Every node appearing in an
     edge gets a row (representatives map to themselves).
@@ -80,6 +81,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     different edges can never false-resume (the algorithm is
     deterministic per input, so stale later rounds stay consistent).
     In-session default (checkpoint_every=0) keeps localCheckpoint.
+
+    ``input_fp``: when the CALLER already holds a fingerprint that
+    uniquely determines the edge set (run_resumable's config+input
+    fingerprint — the edges stage is itself checkpointed under it), pass
+    it to skip the up-front content checksum: a pure-resume rerun then
+    costs zero passes over the edges before the first round-table probe.
+    Direct callers without such a key leave it None and get the
+    content-addressed (count, hash) probe.
 
     Round-table GC (VERDICT r3 #7): once the run CONVERGES, every round
     table except the highest completed one is dropped (``gc_rounds``,
@@ -101,6 +110,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     if not reliable:
         e = e.localCheckpoint(eager=False)
         base_fp = ""
+    elif input_fp is not None:
+        base_fp = f"cc:{input_fp}"
     else:
         n0, h0 = _checksum(e)
         base_fp = f"cc:{n0}:{h0}"

@@ -18,7 +18,7 @@ Skew is handled EXPLICITLY (north rule), not left to luck:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.config import PipelineConfig
@@ -37,26 +37,33 @@ def band_hashes(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def candidate_pairs(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """→ distinct (url_a, url_b), url_a < url_b.
 
-    Plan shape (r4 — this stage was the measured scaling limiter at
-    0.37 N→4N efficiency, BENCH/runs/stages_20260817_111342.json): the
-    bucket census is a partial-aggregating ``groupBy`` instead of a
-    window — the old plan exchanged AND SORTED the full exploded band
-    table (docs × bands rows) just to annotate per-bucket count/min.
-    The census ships only (band, band_hash) partials, its
-    ``count > 1`` filter leaves just the COLLISION buckets (tiny at
-    real dup rates), and AQE sees that size at runtime and broadcasts
-    the join-back — the band table itself is never exchanged on the
-    happy path; only collision-member rows reach the self-join. On a
-    boilerplate-heavy corpus where the collision census outgrows the
-    broadcast threshold, AQE falls back to a shuffle join, which is the
-    old plan's cost class — the degradation is graceful, not a cliff.
+    Plan shape (r4, MEASURED): the bucket census — per-(band, band_hash)
+    count/min — is a WINDOW over the exploded band table, deliberately.
+    One hash exchange + one sort, and that single exchange is then
+    REUSED by everything downstream: the window annotation, the
+    small-bucket self-equi-join (both sides), and the hot-bucket star
+    edges all consume the same shuffle output, so the band table crosses
+    the wire exactly once and the signature subtree executes exactly
+    once. The tempting "optimization" — a partial-aggregating groupBy
+    census with an AQE-broadcast join-back — was implemented and
+    MEASURED 1.6–1.7× SLOWER at 2M docs at both core counts
+    (l32 candidates 131 s → 221 s; raw A/B:
+    `BENCH/runs/stages_20260817_111342.json` window vs
+    `stages_20260817_131722.json` groupBy, unchanged-stage
+    cross-calibration in BENCH/BASELINE.md): at web dup rates the
+    collision census is NOT small (≈ dup_rate × docs × bands rows), so
+    the join-back exceeds any broadcast threshold and falls back to a
+    shuffle join — and the census build side + join probe side are two
+    SEPARATE scans of the band subtree, so the explode (and, when
+    signatures are unpersisted, the Arrow UDF) runs twice. The window
+    plan dominates in both regimes; it stays.
     """
     bands = band_hashes(sigs, cfg)
-    census = (bands.groupBy("band", "band_hash")
-              .agg(F.count("*").alias("bucket_size"),
-                   F.min("url").alias("bucket_rep"))
-              .filter(F.col("bucket_size") > 1))
-    bands = bands.join(census, ["band", "band_hash"])
+    w = Window.partitionBy("band", "band_hash")
+    bands = (bands
+             .withColumn("bucket_size", F.count("*").over(w))
+             .withColumn("bucket_rep", F.min("url").over(w))
+             .filter(F.col("bucket_size") > 1))
 
     small = bands.filter(F.col("bucket_size") <= cfg.hot_bucket_limit)
     hot = bands.filter(F.col("bucket_size") > cfg.hot_bucket_limit)

@@ -93,20 +93,23 @@ def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
                 .filter(F.col("simhash") != 0)
                 .select("url", "simhash",
                         F.posexplode(blocks).alias("block", "block_val")))
-    # block census as a partial-aggregating groupBy, not a window (same
-    # r4 plan shape as lsh.candidate_pairs: no full-table sort; the
-    # collision-only census is tiny at real dup rates, so AQE
-    # broadcasts the join-back). min(struct(url, simhash)) carries the
-    # representative's fingerprint out of the same single aggregate
-    # (urls are unique, so the struct min IS the min-url row).
-    census = (exploded.groupBy("block", "block_val")
-              .agg(F.count("*").alias("block_size"),
-                   F.min(F.struct("url", "simhash")).alias("rep"))
-              .filter(F.col("block_size") > 1)
-              .select("block", "block_val", "block_size",
-                      F.col("rep.url").alias("block_rep"),
-                      F.col("rep.simhash").alias("sh_rep")))
-    exploded = exploded.join(census, ["block", "block_val"])
+    # block census as a WINDOW, deliberately (same measured outcome as
+    # lsh.candidate_pairs: one exchange + one sort, reused by the
+    # self-join, the star edges, AND the chain-edge lag below — a
+    # groupBy census + join-back was tried in r4 and measured 1.6×
+    # slower at 2M docs, because at real dup rates the collision census
+    # outgrows any broadcast threshold and the build/probe sides scan
+    # the exploded block table twice; see BENCH/BASELINE.md)
+    w = Window.partitionBy("block", "block_val")
+    # min(struct(url, simhash)) rides the SAME window as the count, so
+    # the representative's fingerprint needs no second window pass:
+    # urls are unique, hence the struct min IS the min-url row
+    rep = F.min(F.struct("url", "simhash")).over(w)
+    exploded = (exploded
+                .withColumn("block_size", F.count("*").over(w))
+                .withColumn("block_rep", rep["url"])
+                .withColumn("sh_rep", rep["simhash"])
+                .filter(F.col("block_size") > 1))
 
     small = exploded.filter(F.col("block_size") <= cfg.hot_bucket_limit)
     hot = exploded.filter(F.col("block_size") > cfg.hot_bucket_limit)
@@ -123,6 +126,7 @@ def simhash_pairs(sims: DataFrame, cfg: PipelineConfig,
 
     # star edges: every hot-block member pairs with the representative
     # only — O(s) rows instead of O(s²); sh_rep rode in on the census
+    # window above, so no second window pass is needed here
     pairs_hot = (hot.filter(F.col("url") != F.col("block_rep"))
                  .select(F.col("block_rep").alias("url_a"),
                          F.col("sh_rep").alias("sh_a"),

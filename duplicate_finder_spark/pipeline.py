@@ -122,7 +122,10 @@ def run_resumable(spark: SparkSession, pages: DataFrame,
     clusters = staged("clusters", lambda: connected_components(
         edges, warehouse=warehouse if cc_checkpoint_every > 0 else None,
         checkpoint_every=cc_checkpoint_every,
-        table_prefix=f"cc_round_{fp}"))
+        table_prefix=f"cc_round_{fp}",
+        # fp already determines the edge set (the edges stage above is
+        # checkpointed under it) — skip CC's content-checksum pre-pass
+        input_fp=fp))
 
     # decisions are NOT checkpointed: they are cheap relative to the
     # signature/edge/cluster stages and must react to a fresh

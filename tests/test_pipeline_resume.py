@@ -143,6 +143,49 @@ def test_cc_reliable_round_checkpoint_resume(spark, tmp_path):
     assert wh.manifest("cc_round_r1").written_at > ts_before["cc_round_r1"]
 
 
+def test_cc_input_fp_skips_checksum_prepass(spark, tmp_path, monkeypatch):
+    """VERDICT r3 wrong-#5: a caller that already holds a fingerprint
+    determining the edge set (run_resumable's stage key) passes it as
+    ``input_fp`` and CC skips the up-front content-checksum pass — the
+    only ``_checksum`` actions left are the per-round convergence
+    checks. Round tables key off the caller fingerprint and resume."""
+    from duplicate_finder_spark.operators import components as comp
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)],
+        "src string, dst string")
+    wh = get_warehouse(spark, str(tmp_path / "whfp"))
+
+    calls = []
+    real = comp._checksum
+    monkeypatch.setattr(comp, "_checksum",
+                        lambda df: (calls.append(1) or real(df)))
+
+    # content-addressed default: rounds + 1 (the pre-pass)
+    comp.connected_components(edges, max_iter=2, warehouse=wh,
+                              checkpoint_every=1, table_prefix="cc_a")
+    content_calls = len(calls)
+
+    # caller fingerprint: exactly one fewer action, tables keyed by it
+    calls.clear()
+    comp.connected_components(edges, max_iter=2, warehouse=wh,
+                              checkpoint_every=1, table_prefix="cc_b",
+                              input_fp="edges-v1")
+    assert len(calls) == content_calls - 1
+    assert wh.manifest("cc_b_r1").fingerprint == "cc:edges-v1:r1"
+
+    # rerun with the same input_fp resumes; a different one recomputes
+    ts = wh.manifest("cc_b_r1").written_at
+    comp.connected_components(edges, max_iter=2, warehouse=wh,
+                              checkpoint_every=1, table_prefix="cc_b",
+                              input_fp="edges-v1")
+    assert wh.manifest("cc_b_r1").written_at == ts
+    comp.connected_components(edges, max_iter=2, warehouse=wh,
+                              checkpoint_every=1, table_prefix="cc_b",
+                              input_fp="edges-v2")
+    assert wh.manifest("cc_b_r1").written_at > ts
+
+
 def test_cc_round_table_gc_after_convergence(spark, tmp_path):
     """VERDICT r3 #7: a CONVERGED reliable run sweeps its round tables
     (and stale deeper ones from an earlier longer run), keeping only the
