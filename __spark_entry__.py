@@ -134,6 +134,31 @@ def q_filter_glob(spark, sf_dir):
         .select("doc_id", "url")
 
 
+def q_url_dup_groups(spark, sf_dir):
+    """URL canonicalization dedup (functions/urls.py) — the zeroth
+    pass of a web-scale pipeline: every document is "crawled" under
+    2-3 raw spellings (mixed-case host + explicit :443 + fragment;
+    tracking-only query) that all canonicalize to one lowercase URL.
+    Expression-only (lower/regexp/split/filter) + one groupBy shuffle.
+    The oracle is the closed form: each doc_id's group key, spelling
+    count, and lexicographic-min raw spelling are all derivable in
+    SQL without reimplementing the canonicalizer."""
+    from duplicate_finder_spark.functions.urls import url_dup_groups
+    docs = _docs(spark, sf_dir).select("doc_id")
+    site = (F.col("doc_id") % 50).cast("int")
+    base = F.format_string("https://site%03d.example/p/%d", site,
+                           F.col("doc_id"))
+    v1 = docs.select(base.alias("url"))
+    v2 = docs.select(F.format_string(
+        "HTTPS://SITE%03d.EXAMPLE:443/p/%d#frag", site,
+        F.col("doc_id")).alias("url"))
+    v3 = (docs.filter(F.col("doc_id") % 2 == 0)
+          .select(F.concat(base,
+                           F.lit("?utm_source=feed&gclid=x")).alias("url")))
+    pages = v1.unionByName(v2).unionByName(v3)
+    return url_dup_groups(pages)
+
+
 def q_fingerprint_dups(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     base = docs.select("doc_id", "text")
@@ -709,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_prefilter": q_size_prefilter,
         "filter_size_range": q_filter_size_range,
         "filter_glob": q_filter_glob,
+        "url_dup_groups": q_url_dup_groups,
         "fingerprint_dups": q_fingerprint_dups,
         "token_stats": q_token_stats,
         "token_stats_bpe": q_token_stats_bpe,
@@ -923,6 +949,21 @@ def oracle_sql() -> dict[str, str]:
                             source || '/' || CAST(doc_id AS VARCHAR) AS url
                      FROM documents)
           SELECT doc_id, url FROM w WHERE ({inc_pred}) AND ({exc_pred})
+        """,
+        # closed-form oracle: the three constructed raw spellings per
+        # doc all canonicalize to the lowercase base (host lowered,
+        # :443 and #frag stripped, tracking-only query emptied), so
+        # the group key / spelling count / min raw spelling are
+        # derivable without reimplementing the canonicalizer; the
+        # uppercase variant is the ASCII-min ('H' 0x48 < 'h' 0x68)
+        "url_dup_groups": """
+          SELECT printf('https://site%03d.example/p/%d',
+                        (doc_id % 50)::INT, doc_id) AS canonical_url,
+                 (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT
+                   AS n_urls,
+                 printf('HTTPS://SITE%03d.EXAMPLE:443/p/%d#frag',
+                        (doc_id % 50)::INT, doc_id) AS min_url
+          FROM documents
         """,
         "fingerprint_dups": f"""
           WITH u AS (
