@@ -662,6 +662,60 @@ def q_png_decode_features(spark, sf_dir):
     return feats.select("doc_id", key.alias("feature_key"))
 
 
+def q_jpeg_decode_features(spark, sf_dir):
+    """REAL baseline-JPEG decode driver-gated end-to-end: a solid-color
+    JPEG is synthesized per doc (dims/color from doc_id; the encoder
+    CYCLES subsampling 4:4:4 / 4:2:0 and restart intervals 0/1/2, so
+    the gate covers interleaved-MCU upsampling and RSTn predictor
+    resets, not just the trivial stream shape) and pushed through the
+    Arrow-batched ``extract_features``, where ``decode_image`` must
+    Huffman-decode + IDCT the actual entropy-coded bits.  JPEG is
+    lossy, so instead of a closed-form feature key the Spark side
+    asserts the decode against the known ground truth — dimensions
+    exact, per-channel mean within the measured solid-color bound
+    (≤ 3/255) — and emits a boolean; DuckDB's oracle is the constant
+    TRUE row set, so one stub fallback (sha256 features) or one
+    mis-decoded block hash-mismatches the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from duplicate_finder_spark.operators.jpegcodec import encode_jpeg
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, expect = [], []
+            for i in ids:
+                i = int(i)
+                h, w = 1 + i % 5, 1 + (i // 5) % 5
+                color = [i % 256, (i * 7) % 256, (i * 13) % 256]
+                img = np.full((h, w, 3), color, dtype=np.uint8)
+                payloads.append(encode_jpeg(
+                    img, quality=90,
+                    subsampling="420" if i % 2 else "444",
+                    restart_interval=i % 3))
+                expect.append([h / 4096.0, w / 4096.0,
+                               *(c / 255.0 for c in color)])
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads,
+                                "expect": expect})
+
+    pages = docs.mapInPandas(
+        gen, "doc_id long, payload binary, expect array<double>")
+    feats = extract_features(pages.select("doc_id", "payload"))
+    joined = feats.join(pages.select("doc_id", "expect"), "doc_id")
+    # image_feature rounds to 6dp, so "exact" dims compare within the
+    # rounding (1e-6) — an off-by-one dimension differs by 1/4096 ≈ 2.4e-4
+    dims_ok = (F.abs(F.col("feature")[0] - F.col("expect")[0]) < 1e-4) & \
+        (F.abs(F.col("feature")[1] - F.col("expect")[1]) < 1e-4)
+    chan_ok = None
+    for k in range(2, 5):
+        c = F.abs(F.col("feature")[k] - F.col("expect")[k]) <= 3.0 / 255
+        chan_ok = c if chan_ok is None else (chan_ok & c)
+    return joined.select("doc_id", (dims_ok & chan_ok).alias("ok"))
+
+
 def q_streaming_neardup_pairs(spark, sf_dir):
     """The r4 STREAMING near-dup store driver-gated end-to-end: the
     corpus arrives as three micro-batches (doc_id % 3) through a real
@@ -762,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_block_recall": q_simhash_block_recall,
         "multimodal_features": q_multimodal_features,
         "png_decode_features": q_png_decode_features,
+        "jpeg_decode_features": q_jpeg_decode_features,
         "streaming_neardup_pairs": q_streaming_neardup_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -1203,6 +1258,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(1000000 * round(b / 255.0, 6)) AS INT),
                    0, 0, 0) AS feature_key
           FROM f
+        """,
+        # jpeg decode is lossy: the ground-truth comparison lives on the
+        # Spark side (dims exact, channel means within the measured
+        # solid-color bound); the oracle pins the row set + all-TRUE.
+        "jpeg_decode_features": """
+          SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok FROM documents
         """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,

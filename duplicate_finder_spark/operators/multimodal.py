@@ -542,10 +542,15 @@ def audio_feature(samples: np.ndarray, rate: int) -> list[float]:
 def decode_image(payload: bytes) -> np.ndarray | None:
     """REAL decode, no codec libraries: PPM P6 and uncompressed 24-bit
     BMP (pure numpy), PNG (stdlib zlib inflate + numpy defilter, all
-    five row filters incl. Paeth), and GIF (pure-Python LZW). Returns
+    five row filters incl. Paeth), GIF (pure-Python LZW), and baseline
+    JPEG (canonical Huffman + numpy IDCT, ``jpegcodec.py``). Returns
     HxWx3 uint8 RGB, or None for formats that genuinely need an
-    external codec (JPEG/WebP/…), which fall back to ``decode_stub``."""
-    for dec in (_decode_bmp, _decode_ppm, _decode_png, _decode_gif):
+    external codec (progressive JPEG/WebP/…), which fall back to
+    ``decode_stub``."""
+    from duplicate_finder_spark.operators.jpegcodec import decode_jpeg
+
+    for dec in (_decode_bmp, _decode_ppm, _decode_png, _decode_gif,
+                decode_jpeg):
         img = dec(payload)
         if img is not None:
             return img

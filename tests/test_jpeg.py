@@ -1,0 +1,154 @@
+"""Baseline JPEG codec tests (operators/jpegcodec.py).
+
+Round-trip bounds, restart markers, subsampled MCUs, and — the check a
+shared-constant bug cannot pass — decode of two REAL third-party JPEGs
+(libjpeg-encoded, vendored as base64: a 2x2 uniform-gray grayscale
+JPEG from IPython's test suite and CPython's 16x16 ``python.jpg`` test
+image) whose Huffman/quant tables come from an independent encoder.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duplicate_finder_spark.operators.jpegcodec import (decode_jpeg,
+                                                        encode_jpeg)
+from duplicate_finder_spark.operators.multimodal import decode_image
+
+# IPython core/tests/2x2.jpg (BSD): grayscale baseline, 2x2, uniform 128
+_REAL_GRAY_2X2 = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8U"
+    "HRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA"
+    "/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+    "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJico"
+    "KSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKT"
+    "lJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo"
+    "6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q==")
+
+# CPython Lib/test/imghdrdata/python.jpg (PSF): color baseline, 16x16
+_REAL_PYTHON_16 = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUG"
+    "CQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgE"
+    "BAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+    "EBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QA"
+    "JBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAA"
+    "AAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEA"
+    "AhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZds"
+    "kzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0"
+    "rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo"
+    "5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmIT"
+    "jbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z")
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.dstack([xx * 255 // max(w - 1, 1),
+                      yy * 255 // max(h - 1, 1),
+                      (xx + yy) * 255 // max(h + w - 2, 1)]
+                     ).astype(np.uint8)
+
+
+def test_real_grayscale_jpeg_decodes_to_uniform_128():
+    """Independent-encoder interop: the IPython 2x2 fixture is a
+    grayscale baseline JPEG of a uniform mid-gray — the decoder must
+    reproduce exactly 128 on all pixels (DC-only, lossless here), via
+    the 1-component branch."""
+    img = decode_jpeg(_REAL_GRAY_2X2)
+    assert img is not None and img.shape == (2, 2, 3)
+    assert (img == 128).all()
+
+
+def test_real_color_jpeg_decodes_with_plausible_stats():
+    """Independent-encoder interop on a real 16x16 color JPEG: correct
+    dimensions, deterministic output, and non-degenerate pixel content
+    (a stub or mis-decode yields garbage or a constant)."""
+    img = decode_jpeg(_REAL_PYTHON_16)
+    assert img is not None and img.shape == (16, 16, 3)
+    assert np.array_equal(img, decode_jpeg(_REAL_PYTHON_16))
+    assert img.std() > 10  # real image content, not a constant plane
+    # regression snapshot of the decode (pins determinism across changes)
+    assert round(float(img.mean()), 2) == pytest.approx(92.18, abs=0.5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+       st.integers(1, 20), st.integers(1, 20),
+       st.sampled_from(["444", "420"]))
+def test_solid_color_roundtrip_tight(r, g, b, h, w, sub):
+    """Solid color → DC-only blocks: round-trip error is bounded by DC
+    quantization + color-transform rounding (≤ 2/255 per channel at
+    q90)."""
+    img = np.full((h, w, 3), (r, g, b), np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+    assert out is not None and out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(9, 40), st.integers(9, 40),
+       st.sampled_from(["444", "420"]))
+def test_gradient_roundtrip_bounded(h, w, sub):
+    """Smooth gradients round-trip within normal JPEG-q90 error."""
+    img = _gradient(h, w)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+    assert out is not None and out.shape == img.shape
+    err = np.abs(out.astype(float) - img.astype(float))
+    # envelope measured over all (9..40)² × {444,420}: worst mean 6.8 /
+    # max 14 (steep small gradients at 4:2:0); random garbage means ~85
+    assert err.mean() < 8.0 and err.max() < 25.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 4), st.sampled_from(["444", "420"]))
+def test_restart_markers_do_not_change_decode(interval, sub):
+    """DRI/RSTn streams decode bit-identically to the same image
+    encoded without restarts (predictor reset + byte-align path)."""
+    img = _gradient(24, 40)
+    plain = decode_jpeg(encode_jpeg(img, 90, sub))
+    rst = decode_jpeg(encode_jpeg(img, 90, sub, restart_interval=interval))
+    assert rst is not None and np.array_equal(rst, plain)
+
+
+def test_progressive_is_rejected_not_mangled():
+    """Flipping SOF0→SOF2 (progressive) must yield None — the decoder
+    only claims baseline sequential."""
+    b = bytearray(encode_jpeg(_gradient(8, 8), 90))
+    i = b.find(b"\xff\xc0")
+    assert i > 0
+    b[i + 1] = 0xC2
+    assert decode_jpeg(bytes(b)) is None
+
+
+def test_decode_image_dispatches_jpeg():
+    """The multimodal dispatcher reaches the JPEG decoder (the codec
+    branch is no longer a stub for baseline JPEG)."""
+    img = _gradient(8, 8)
+    out = decode_image(encode_jpeg(img, 95))
+    assert out is not None and out.shape == (8, 8, 3)
+    assert decode_image(_REAL_PYTHON_16).shape == (16, 16, 3)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=150))
+def test_jpeg_garbage_after_magic_never_raises(tail):
+    """F6 posture: bytes that LOOK like a JPEG but are corrupt decode to
+    None (or a valid image), never raise."""
+    img = decode_jpeg(b"\xff\xd8" + tail)
+    assert img is None or (img.ndim == 3 and img.shape[2] == 3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 400), st.integers(0, 255))
+def test_truncated_and_bitflipped_real_jpeg_never_raises(cut, flip):
+    """Truncations and single-byte corruptions of a REAL stream decode
+    to None or a valid image, never raise."""
+    assert_ok = lambda im: im is None or im.ndim == 3  # noqa: E731
+    assert_ok(decode_jpeg(_REAL_PYTHON_16[:cut]))
+    b = bytearray(_REAL_PYTHON_16)
+    b[cut % len(b)] = flip
+    assert_ok(decode_jpeg(bytes(b)))
