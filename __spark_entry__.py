@@ -716,6 +716,62 @@ def q_jpeg_decode_features(spark, sf_dir):
     return joined.select("doc_id", (dims_ok & chan_ok).alias("ok"))
 
 
+def q_avi_frame_sample(spark, sf_dir):
+    """REAL video frame sampling driver-gated end-to-end: a deterministic
+    MJPEG-AVI is synthesized per doc (1 + doc_id%6 solid 8x8 frames,
+    colors derived from doc_id and frame index), pushed through
+    ``sample_frames`` (RIFF walk → even sampling → contained JPEG
+    payloads), and each sampled frame is decoded and checked against its
+    known color.  The SAMPLING LOGIC is oracled closed-form: DuckDB
+    recomputes the expected (doc_id, frame_no) fanout as i*n//m over
+    m = min(3, n) — a wrong frame index, a dropped row, or a stub
+    fallback (which emits byte slices, not decodable frames) all
+    hash-mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from duplicate_finder_spark.operators.avicodec import encode_avi_mjpeg
+    from duplicate_finder_spark.operators.jpegcodec import decode_jpeg
+    from duplicate_finder_spark.operators.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def color(i: int, j: int) -> list[int]:
+        return [(i * 17 + j * 31) % 256, (i * 7) % 256, (j * 53) % 256]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 1 + i % 6
+                frames = [np.full((8, 8, 3), color(i, j), np.uint8)
+                          for j in range(n)]
+                payloads.append(encode_avi_mjpeg(frames, quality=90))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary")
+    sampled = sample_frames(pages, max_frames=3)
+
+    def check(batches):
+        for pdf in batches:
+            oks = []
+            for i, j, frame in zip(pdf["doc_id"].astype("int64"),
+                                   pdf["frame_no"], pdf["frame"]):
+                img = decode_jpeg(bytes(frame))
+                exp = np.array(color(int(i), int(j)))
+                oks.append(bool(img is not None
+                                and img.shape == (8, 8, 3)
+                                and np.abs(img.astype(int) - exp).max()
+                                <= 2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "frame_no": pdf["frame_no"].astype("int32"),
+                                "ok": oks})
+
+    return sampled.mapInPandas(check, "doc_id long, frame_no int, ok boolean")
+
+
 def q_streaming_neardup_pairs(spark, sf_dir):
     """The r4 STREAMING near-dup store driver-gated end-to-end: the
     corpus arrives as three micro-batches (doc_id % 3) through a real
@@ -817,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "png_decode_features": q_png_decode_features,
         "jpeg_decode_features": q_jpeg_decode_features,
+        "avi_frame_sample": q_avi_frame_sample,
         "streaming_neardup_pairs": q_streaming_neardup_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -1264,6 +1321,20 @@ def oracle_sql() -> dict[str, str]:
         # solid-color bound); the oracle pins the row set + all-TRUE.
         "jpeg_decode_features": """
           SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok FROM documents
+        """,
+        # the SAMPLING fanout is closed-form from doc_id: n = 1+doc_id%6
+        # frames, m = min(3, n) sampled at indices i*n//m; decode
+        # ground truth lives Spark-side (ok must be all-TRUE).
+        "avi_frame_sample": """
+          WITH d AS (
+            SELECT doc_id, 1 + doc_id % 6 AS n,
+                   least(3, 1 + doc_id % 6) AS m
+            FROM documents)
+          SELECT doc_id,
+                 CAST(unnest([i * n // m for i in range(0, m)]) AS INT)
+                   AS frame_no,
+                 CAST(TRUE AS BOOLEAN) AS ok
+          FROM d
         """,
         "tpch_pricing_summary": """
           SELECT l_returnflag, l_linestatus,

@@ -668,11 +668,16 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
                   id_col: str = "doc_id",
                   bin_col: str = "payload") -> DataFrame:
     """(id, binary video) → one row per sampled frame (doc_id, frame_no,
-    frame). STUB frame extraction: real branch seeks keyframes via
-    ffmpeg; the fake slices fixed-stride windows so the EXPLODED output
-    shape — the part that matters to Spark (row-per-frame fanout,
-    partition sizing) — is real.
+    frame). REAL frame extraction for RIFF/AVI payloads (MJPEG or DIB
+    chunks — ``avicodec.parse_avi_frames``): up to ``max_frames`` frames
+    evenly sampled from the actual stream, ``frame_no`` = source frame
+    index, ``frame`` = the contained frame payload (a decodable JPEG
+    for MJPEG). Non-AVI containers (mp4/mkv need an external demuxer)
+    keep the explicit byte-slicing stub so the EXPLODED output shape —
+    row-per-frame fanout, partition sizing — stays real either way.
     """
+    from duplicate_finder_spark.operators.avicodec import (parse_avi_frames,
+                                                           sample_indices)
     id_name, bin_name = id_col, bin_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -681,6 +686,13 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
             for doc_id, b in zip(pdf[id_name].astype("int64"),
                                  pdf[bin_name]):
                 if b is None:
+                    continue
+                real = parse_avi_frames(b)
+                if real is not None:
+                    for fno in sample_indices(len(real), max_frames):
+                        ids.append(doc_id)
+                        frame_nos.append(fno)
+                        frames.append(real[fno])
                     continue
                 for fno in range(min(max_frames,
                                      max(1, len(b) // every_n_bytes))):
