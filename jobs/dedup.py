@@ -49,6 +49,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--input-id", default=None,
                    help="stable id for the input snapshot (stage-cache "
                         "key); defaults to the input path")
+    p.add_argument("--warmup", action="store_true",
+                   help="run an untimed Python-UDF warmup pass before "
+                        "the measured pipeline: spawns the per-core "
+                        "UDF daemons (each imports numpy/pandas) and "
+                        "JITs the hot JVM paths, bringing a FRESH "
+                        "local JVM to the steady state a long-lived "
+                        "cluster executor is already in — use for "
+                        "throughput comparisons, where daemon spawn "
+                        "(a per-executor one-time cost that grows "
+                        "with core count) would otherwise be billed "
+                        "to the wide configuration")
     return p.parse_args(argv)
 
 
@@ -81,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
             fmt="parquet" if args.format == "warc" else args.format)
 
         input_id = args.input_id or args.input
+        if args.warmup:
+            from pyspark.sql import functions as F
+            _w = F.pandas_udf(lambda s: s, "long")
+            (spark.range(100_000)
+                  .repartition(spark.sparkContext.defaultParallelism)
+                  .select(_w("id"))
+                  .write.format("noop").mode("overwrite").save())
         t0 = time.time()
         decisions = run_resumable(spark, pages, cfg, wh, input_id=input_id)
         manifest = wh.write(decisions, "decisions", stage="decisions",

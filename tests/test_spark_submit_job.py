@@ -120,3 +120,13 @@ def test_spark_submit_warc_input(spark, tmp_path: Path) -> None:
     acts = {r["url"]: r["action"] for r in decisions.collect()}
     assert acts == {"http://a.example/": "keep",
                     "http://b.example/": "delete"}
+
+
+def test_dedup_job_warmup_flag_parses() -> None:
+    """--warmup is an opt-in benchmarking aid (untimed UDF-daemon/JIT
+    warmup before t0); default stays off so production walls include
+    nothing extra."""
+    from jobs.dedup import parse_args
+    base = ["--input", "/x", "--warehouse", "/y"]
+    assert parse_args(base).warmup is False
+    assert parse_args(base + ["--warmup"]).warmup is True

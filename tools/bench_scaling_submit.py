@@ -19,10 +19,20 @@ Method notes:
 * counterbalanced 8->32->32->8 order, best docs/sec per config, with
   the host's pure-CPU ceiling probed before each session (same
   bracketing discipline as the in-process harness);
-* the job's ``wall_sec`` starts after SparkSession bring-up, so the
-  comparison excludes JVM/daemon cold-start (a per-job constant that
-  the in-process harness's 10k-doc floor measurement already covers)
-  but includes every compute+shuffle stage end-to-end.
+* each timed submission passes ``--warmup`` (jobs/dedup.py): an
+  untimed in-job pandas-UDF pass spawns the per-core Python UDF
+  daemons (each imports numpy/pandas — a one-time cost that GROWS
+  with core count and on a real cluster is paid once per long-lived
+  executor, not per job) and JITs the hot JVM paths; without it the
+  wide config is billed ~4x the daemon spawn and the comparison
+  measures process bring-up, not throughput scaling (measured: 250k
+  docs WITHOUT warmup ran local[32] SLOWER than local[8], 141 s vs
+  95 s, with 5 min of sys time — raw: submit_20260818_015744.json);
+* the job's ``wall_sec`` starts after SparkSession bring-up and the
+  warmup, so the comparison excludes JVM/daemon cold-start (a per-job
+  constant that the in-process harness's 10k-doc floor measurement
+  already covers) but includes every compute+shuffle+checkpoint-write
+  stage end-to-end.
 
 Usage: PYTHONPATH=/root/repo python tools/bench_scaling_submit.py [n_rows]
 """
@@ -62,7 +72,8 @@ def submit_once(spark_submit: str, zip_path: Path, inp: str, cpus: int,
          "--py-files", str(zip_path),
          str(REPO / "jobs" / "dedup.py"),
          "--input", inp, "--warehouse", str(wh),
-         "--config", str(cfg), "--input-id", f"bench-{tag}"],
+         "--config", str(cfg), "--input-id", f"bench-{tag}",
+         "--warmup"],
         capture_output=True, text=True, env=env, cwd=str(workdir),
         timeout=3600)
     if res.returncode != 0:
@@ -87,8 +98,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         workdir = Path(td)
         zip_path = build_zip(workdir)
-        # untimed warmup (page cache for the input; its own JVM)
-        submit_once(spark_submit, zip_path, inp, 8, workdir, "warmup")
+        # untimed warmup (page cache for the input; its own JVM — wide
+        # config so the untimed pass is as fast as possible)
+        submit_once(spark_submit, zip_path, inp, 32, workdir, "warmup")
 
         sessions = []
         for i, cpus in enumerate((8, 32, 32, 8)):
