@@ -332,3 +332,65 @@ def test_png_gif_garbage_after_magic_never_raises(magic, tail):
     from duplicate_finder_spark.operators.multimodal import decode_image
     img = decode_image(magic + tail)
     assert img is None or (img.ndim == 3 and img.shape[2] == 3)
+
+
+def test_real_png_gif_interop_decode():
+    """Independent-encoder interop for PNG and GIF (same protection the
+    JPEG tests have): two REAL fixtures from CPython's IDLE icon set
+    (PSF license; vendored base64) — the same 16x16 logo saved by a
+    real encoder as palette GIF and as RGBA PNG with ancillary chunks
+    (gAMA/cHRM/tRNS/bKGD/pHYs/tIME) — must decode through the same
+    decode_image dispatch to plausible, deterministic pixels. A
+    palette/LZW or defilter table bug that round-trip tests can't see
+    (shared constants) fails here."""
+    import base64
+
+    from duplicate_finder_spark.operators.multimodal import decode_image
+
+    gif = base64.b64decode(
+        "R0lGODlhEAAQAPZXAEVjfUdlfUVkfv/DMP/IM//KNf/FOP/LP//QPf/RPv/UQv/YR//S"
+        "SP/dTf/bU//gUf/jVv/nWv/pX//rYP/tY//idj9xmT11ozt6rT5+sUNnhUdphUJpiUFr"
+        "jkVvkUBulEt4nUl+qT2AtkeCskWGu3GVs5+fn4mcrKSkpKWlpaioqK2tra6urrOzs7e3"
+        "t7m5ubu7u729vf/gmf/im//0m//sqP/xrv/yt6e6yqS80LDB0KHE4MDAwMPDw8XFxcnJ"
+        "yc7OztDQ0Nzc3N/f3//00tPg6uHh4ePj4+Tk5Ojo6Ozs7O7u7v/76+rv8/Dw8PLy8vPz"
+        "8/b29vj4+Pr6+vv7+/z8/P39/QAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACH5BAUAAFcALAAA"
+        "AAAQABAAAAfXgC4wgzw8PT0/iVeLizBASFFSUlRTVj9TQIxXMENRU0NIS0ZVpFVLjD1B"
+        "SFVHS1JWOyMXIDhViz5GU1VRVVZVGUUWHRu2Vz9BSVVDvb5VOhoCpT6dU1E7IhggHxsA"
+        "AVUQNT6quiTZHxwaASdMCww8nVFWGCElTc1MFQkEMY9PViEWmtCgMAFCAwUFDLwQEsXJ"
+        "lBweqlCgEOEgggEyXAAxosQVKYo3SpFqIQTKESRJkkl4sIBIgWIrerBQoaIFkCk2HCQ4"
+        "MAOmpisoVqwiBeWnURMoUqTQFAgAOw==")
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAABAAAAAQCAMAAAAoLQ9TAAAABGdBTUEAALGPC/xhBQAA"
+        "ACBjSFJNAAB6JgAAgIQAAPoAAACA6AAAdTAAAOpgAAA6mAAAF3CculE8AAABxVBMVEUA"
+        "AADExMS/v7////////////////////+urq6qqqqoqKj///+srKyrq6uqqqqlpaWjo6Og"
+        "oKDx8fGrq6udnZ2fn5+ioqKkpKSlpaWmpqa3t7e5ubm7u7u9vb2/v7/BwcHDw8PFxcXI"
+        "yMjJycnHx8fOzs7k5OT29vb4+Pj6+vr8/Pz5+fnMzMy+vr7e3t739/fn5+fu7u7h4eH+"
+        "/v79/f3////s7OzPz8/m5ubj4+Oiwt5HgrI9daNLeJ2nusrf398+frHT4Oo/cZlBa45H"
+        "aYXR0dHd3d2wwdBDZ4VFY32hxOA9gLY8eKk+c55BbZJDaIdFZH1HZX3/31P/7KjQ0NDl"
+        "5eVFhrs8eas+dKBAbpRCaYlFZH5GZH2JnKz/++v/2Ef/0kjAwMD19fU7eq09daJxlbPq"
+        "7/P/4nb/0T7/yDPy8vJJfqn/9Jv/7WP/62D/41b/20v/0kD/yjX/xTjw8PCkvNBFb5H/"
+        "7GH/5Vj/3U3/1EL/zDf/wzD/4Jm2trbNzc3i4uLt7e3/7WH/51r/8rezs7Pc3Nzz8/Pp"
+        "6eno6Oj/6V//4FH/10b/9NL/xzSvr6//8a7/21P/0D3/yz//4putra37+/t0CxwfAAAA"
+        "GnRSTlMAf3+19PW29vvg9Lfvbw4ESb7WH0O09u6SDkhfJ8IAAAABYktHRAMRDEzyAAAA"
+        "CXBIWXMAAABIAAAASABGyWs+AAAAB3RJTUUH5AcBCR8AiRZ9UAAAAQRJREFUGNMFwQcj"
+        "AnEYB+Afyd6byjVvdHSX/702EbK3bNmZ2XslZO/1eT0Pig1GUwlntlht9hgAgNHBC6Io"
+        "SU6rXBoLAGUuRXap7nKmEasAAK6yylntFqWa2rr6Bh0Ai0dkCtOoscnb3BIHwNaqaj6N"
+        "EVFbewfpdbB7FEno7Oru6e3rH6DBIZiH/SKNjI6NT0xOTQdmZjHnEuZpYXEpSESB5ZVV"
+        "mBz8Glv3BjdCm1vbO7t7MPiEfengkEJHxyenZ+cXuAxfRSIyo+ubWyLSxyN6d8+rD4/s"
+        "6fnl9S0BwDuXmJQcDQsfn1/fPykAUtPSkZGZ9evX6C8bAHIAAMjNyy8oLALwD5VOOypm"
+        "F0NuAAAAJXRFWHRkYXRlOmNyZWF0ZQAyMDIwLTA3LTAxVDA5OjMwOjA0KzAwOjAwAvI0"
+        "0gAAACV0RVh0ZGF0ZTptb2RpZnkAMjAyMC0wNy0wMVQwOTozMDowNCswMDowMHOvjG4A"
+        "AAAASUVORK5CYII=")
+    g = decode_image(gif)
+    p = decode_image(png)
+    assert g is not None and g.shape == (16, 16, 3)
+    assert p is not None and p.shape == (16, 16, 3)
+    # deterministic regression snapshots (independent encoders)
+    assert round(float(g.mean()), 2) == 172.28
+    assert round(float(p.mean()), 2) == 178.45
+    # same source artwork: the two decodes agree to palette precision
+    # on the vast majority of pixels
+    diff = np.abs(g.astype(int) - p.astype(int)).mean()
+    assert diff < 12.0
