@@ -716,6 +716,59 @@ def q_jpeg_decode_features(spark, sf_dir):
     return joined.select("doc_id", (dims_ok & chan_ok).alias("ok"))
 
 
+def q_wav_audio_features(spark, sf_dir):
+    """REAL WAV decode driver-gated end-to-end (completes the modality
+    set: image=png/jpeg gates, video=avi gate, audio=this): a
+    deterministic PCM WAV is synthesized per doc — constant-amplitude
+    signal c = m/64 with m from doc_id, n = 100 + doc_id%50 samples at
+    8 kHz, CYCLING bits 8/16 and channels 1/2 (stereo carries the same
+    signal on both channels, so mono-mix preserves c) — and pushed
+    through ``extract_features(modality='audio')``.  Every feature is
+    closed-form: duration n/(8000·3600), rms=peak=bands=c, zcr=0; the
+    amplitudes are chosen so c·10⁶ is an integer (m/64 · 10⁶ =
+    15625·m), so the 6-dp rounding on both sides is exact and DuckDB
+    reproduces the key digit-for-digit from doc_id alone.  A stub
+    fallback (sha256 bytes) or any PCM/mono-mix bug hash-mismatches."""
+    import struct
+
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def wav_bytes(i: int) -> bytes:
+        m = 1 + i % 63
+        n = 100 + i % 50
+        bits = 16 if i % 2 else 8
+        channels = 1 + (i // 2) % 2
+        rate = 8000
+        if bits == 16:
+            frame = struct.pack("<h", 512 * m) * channels
+        else:
+            frame = bytes([128 + 2 * m]) * channels
+        data = frame * n
+        block = channels * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                          block, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [wav_bytes(int(i)) for i in ids]})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_features(pages, modality="audio")
+    key = F.array_join(
+        F.transform("feature",
+                    lambda x: F.round(x * 1000000).cast("int")
+                    .cast("string")), ",")
+    return feats.select("doc_id", key.alias("feature_key"))
+
+
 def q_avi_frame_sample(spark, sf_dir):
     """REAL video frame sampling driver-gated end-to-end: a deterministic
     MJPEG-AVI is synthesized per doc (1 + doc_id%6 solid 8x8 frames,
@@ -874,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_features": q_png_decode_features,
         "jpeg_decode_features": q_jpeg_decode_features,
         "avi_frame_sample": q_avi_frame_sample,
+        "wav_audio_features": q_wav_audio_features,
         "streaming_neardup_pairs": q_streaming_neardup_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -1334,6 +1388,23 @@ def oracle_sql() -> dict[str, str]:
                  CAST(unnest([i * n // m for i in range(0, m)]) AS INT)
                    AS frame_no,
                  CAST(TRUE AS BOOLEAN) AS ok
+          FROM d
+        """,
+        # constant-PCM WAV: every feature is exact — c = m/64 gives
+        # integer c·10⁶ = 15625·m; duration mirrors the engine's exact
+        # double arithmetic (round(n/28800000, 6) then ×10⁶); zcr 0.
+        "wav_audio_features": """
+          WITH d AS (
+            SELECT doc_id, 1 + doc_id % 63 AS m, 100 + doc_id % 50 AS n
+            FROM documents)
+          SELECT doc_id,
+                 concat_ws(',',
+                   CAST(round(round(n / 28800000.0, 6) * 1000000)
+                        AS INT),
+                   CAST(15625 * m AS INT), CAST(15625 * m AS INT), 0,
+                   CAST(15625 * m AS INT), CAST(15625 * m AS INT),
+                   CAST(15625 * m AS INT), CAST(15625 * m AS INT))
+                   AS feature_key
           FROM d
         """,
         "tpch_pricing_summary": """
