@@ -5,16 +5,23 @@ called the codec branch "partial — weak"; PNG/GIF/BMP/PPM are already
 real).  This implements ITU-T T.81 baseline sequential DCT, Huffman
 entropy coding, 8-bit precision:
 
-* decoder: SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/EOI marker parse, canonical
-  Huffman decode with 0xFF00 byte-unstuffing and RSTn restart handling,
-  dequantize + dezigzag, orthonormal 8x8 IDCT as two numpy matmuls,
-  chroma upsampling for any (H,V) sampling (4:4:4 / 4:2:2 / 4:2:0),
-  YCbCr→RGB.  Progressive (SOF2), 12-bit, arithmetic-coded and
+* decoder: SOI/APPn/COM/DQT/DHT/SOF0/SOF2/DRI/SOS/EOI marker parse,
+  canonical Huffman decode with 0xFF00 byte-unstuffing and RSTn restart
+  handling, BOTH frame types — baseline sequential AND progressive
+  (spectral selection + successive approximation, T.81 G.1.2: DC/AC ×
+  first/refinement scans with EOB runs, accumulated into per-component
+  coefficient arrays) — then one vectorized dequantize + 8x8 IDCT pass
+  (two numpy einsums), chroma upsampling for any (H,V) sampling
+  (4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB.  12-bit, arithmetic-coded and
   lossless variants return ``None`` (fall through to the next decoder /
   the explicit stub), as does any malformed stream.
-* encoder: quality-scaled Annex-K quantization tables, Annex-K Huffman
-  tables, 4:4:4, used by the round-trip property tests and the
-  ``jpeg_decode_features`` driver gate.
+* encoders: a baseline writer (quality-scaled Annex-K quantization +
+  Huffman tables, 4:4:4/4:2:0, optional restarts) and a scripted
+  PROGRESSIVE writer (spectral-selection and successive-approximation
+  scripts) — both exist so the decoder is round-trip testable without
+  codec libraries: a completed progressive script transmits the exact
+  baseline-quantized coefficients, so its decode must be BIT-IDENTICAL
+  to the baseline decode of the same image.
 
 Correctness-first, not throughput-first: Huffman decode is a per-symbol
 Python loop (the IDCT and color transform are vectorized).  At 100 TB
@@ -220,7 +227,11 @@ def _extend(v: int, s: int) -> int:
 # --- decoder -----------------------------------------------------------------
 
 def decode_jpeg(b: bytes) -> np.ndarray | None:  # noqa: C901
-    """Baseline-sequential JFIF/JPEG → HxWx3 uint8 RGB, else None."""
+    """Baseline-sequential OR progressive JFIF/JPEG → HxWx3 uint8 RGB,
+    else None.  Both frame types flow through the same machinery: every
+    scan entropy-decodes into per-component coefficient arrays (baseline
+    is just the single full-band interleaved scan), then one vectorized
+    dequant + IDCT pass assembles the planes."""
     try:
         return _decode_jpeg_inner(b)
     except Exception:
@@ -234,9 +245,12 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:  # noqa: C901
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) comps: [(cid, hs, vs, tq)]
+    coeffs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) raster ints
+    pred: dict[int, int] = {}
     restart_interval = 0
+    got_scan = False
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
@@ -256,7 +270,7 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:  # noqa: C901
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
                 j += 1
                 if pq != 0:
-                    return None  # 16-bit tables → not baseline
+                    return None  # 16-bit tables → not 8-bit precision
                 tbl = np.frombuffer(seg, np.uint8, 64, j).astype(np.int32)
                 raster = np.empty(64, np.int32)
                 raster[_ZIGZAG] = tbl  # DQT is in zigzag order
@@ -274,7 +288,7 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:  # noqa: C901
                 tbl = _build_decode_table(counts, syms)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), \
                 int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
@@ -284,9 +298,17 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:  # noqa: C901
                 cid, hv, tq = seg[6 + 3 * k], seg[7 + 3 * k], seg[8 + 3 * k]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hs, vs, _tq in comps:
+                coeffs[cid] = np.zeros((mcuy * vs, mcux * hs, 64),
+                                       np.int32)
+                pred[cid] = 0
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended / progressive / lossless / arithmetic
+            return None  # extended / lossless / arithmetic variants
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -297,67 +319,195 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray | None:  # noqa: C901
             for k in range(ns):
                 cs, tt = seg[1 + 2 * k], seg[2 + 2 * k]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            return _decode_scan(b, i, frame, scan, qt, huff_dc, huff_ac,
-                                restart_interval)
-        # APPn / COM / others: skip
-    return None
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            band = (ss, se, a >> 4, a & 0x0F)
+            for cs, *_ in scan:
+                pred[cs] = 0  # DC predictor resets per scan
+            i = _decode_scan(b, i, frame, scan, band, coeffs, pred,
+                             huff_dc, huff_ac, restart_interval)
+            got_scan = True
+        # APPn / COM / DNL / others: skip
+    if frame is None or not got_scan:
+        return None
+    return _assemble(frame, coeffs, qt)
 
 
-def _decode_scan(b: bytes, i: int, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval: int) -> np.ndarray | None:
+def _decode_scan(b: bytes, i: int, frame, scan, band, coeffs, pred,
+                 huff_dc, huff_ac, restart_interval: int) -> int:
+    """Entropy-decode one scan into the coefficient arrays; returns the
+    byte offset of the next marker."""
     h, w, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # component planes sized to whole MCUs
-    planes, meta = {}, []
+    ss, se, ah, al = band
+    meta = []
     for cs, td, ta in scan:
-        if cs not in by_id or td not in huff_dc or ta not in huff_ac:
-            return None
-        hs, vs, tq = by_id[cs]
+        if cs not in by_id:
+            raise EOFError
+        hs, vs, _tq = by_id[cs]
+        hdc = huff_dc.get(td)
+        hac = huff_ac.get(ta)
+        # a first DC scan needs a DC table; an AC scan needs an AC table
+        if ss == 0 and ah == 0 and hdc is None:
+            raise EOFError
+        if ss > 0 and hac is None:
+            raise EOFError
+        meta.append((cs, hs, vs, hdc, hac))
+    reader = _BitReader(b[i:])
+    state = {"eobrun": 0}
+
+    def maybe_restart(n: int) -> None:
+        if restart_interval and n and n % restart_interval == 0:
+            reader.byte_align()
+            # skip the RSTn marker (and any stuffed 0xFF00 padding byte
+            # the aligner left un-consumed before it)
+            while (reader.pos + 1 < len(reader.data)
+                   and reader.data[reader.pos] == 0xFF
+                   and (reader.data[reader.pos + 1] == 0x00
+                        or 0xD0 <= reader.data[reader.pos + 1] <= 0xD7)):
+                reader.pos += 2
+            for cs, *_ in meta:
+                pred[cs] = 0
+            state["eobrun"] = 0
+
+    if len(meta) > 1:  # interleaved MCU order
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(n)
+                n += 1
+                for cs, hs, vs, hdc, hac in meta:
+                    for v in range(vs):
+                        for u in range(hs):
+                            _decode_block_into(
+                                reader, coeffs[cs][my * vs + v,
+                                                   mx * hs + u],
+                                band, pred, cs, hdc, hac, state)
+    else:  # non-interleaved: the component's own block grid
+        cs, hs, vs, hdc, hac = meta[0]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(n)
+                n += 1
+                _decode_block_into(reader, coeffs[cs][by, bx], band,
+                                   pred, cs, hdc, hac, state)
+    # resync: the next marker at/after the last consumed byte
+    pos = i + reader.pos
+    while pos + 1 < len(b) and not (b[pos] == 0xFF
+                                    and b[pos + 1] not in (0x00,)):
+        pos += 1
+    return pos
+
+
+def _decode_block_into(reader: _BitReader, coef: np.ndarray, band,
+                       pred: dict, cs: int, hdc, hac, state) -> None:
+    """Decode one block's contribution of one scan into ``coef`` (a
+    64-long raster-ordered int view).  Handles all four progressive
+    regimes (DC/AC × first/refinement); baseline is the ss=0..se=63,
+    ah=al=0 case."""
+    ss, se, ah, al = band
+    k = ss
+    if ss == 0:  # DC
+        if ah == 0:
+            s = reader.decode_symbol(hdc)
+            pred[cs] += _extend(reader.read_bits(s), s)
+            coef[0] = pred[cs] << al
+        else:  # DC refinement: one correction bit
+            if reader.read_bit():
+                coef[0] |= 1 << al
+        if se == 0:
+            return
+        k = 1
+    zz = _ZIGZAG
+    if ah == 0:  # AC first pass
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = reader.decode_symbol(hac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)+bits blocks incl. this
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise EOFError
+            coef[zz[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine shape)
+    p1, m1 = 1 << al, -(1 << al)
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(hac)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # NOT pre-decremented (unlike the first-pass case):
+                    # the tail loop below processes the current block's
+                    # remaining correction bits and counts it
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:  # s == 1: a newly nonzero coefficient
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = zz[k]
+                if coef[z] != 0:  # history coefficient: correction bit
+                    if reader.read_bit() and not (coef[z] & p1):
+                        coef[z] += p1 if coef[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[zz[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # EOB run: only correction bits remain
+            z = zz[k]
+            if coef[z] != 0:
+                if reader.read_bit() and not (coef[z] & p1):
+                    coef[z] += p1 if coef[z] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _assemble(frame, coeffs, qt) -> np.ndarray | None:
+    """Dequantize + batch-IDCT every component, upsample, color-convert."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, hs, vs, tq in comps:
         if tq not in qt:
             return None
-        planes[cs] = np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64)
-        meta.append((cs, hs, vs, qt[tq].astype(np.float64),
-                     huff_dc[td], huff_ac[ta]))
-    reader = _BitReader(b[i:])
-    pred = {cs: 0 for cs, *_ in meta}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                reader.byte_align()
-                # skip the RSTn marker (and any stuffed 0xFF00 padding
-                # byte the aligner left un-consumed before it)
-                while (reader.pos + 1 < len(reader.data)
-                       and reader.data[reader.pos] == 0xFF
-                       and (reader.data[reader.pos + 1] == 0x00
-                            or 0xD0 <= reader.data[reader.pos + 1]
-                            <= 0xD7)):
-                    reader.pos += 2
-                pred = {cs: 0 for cs, *_ in meta}
-            for cs, hs, vs, q, hdc, hac in meta:
-                for v in range(vs):
-                    for u in range(hs):
-                        blk = _decode_block(reader, hdc, hac)
-                        pred[cs] += blk[0]
-                        coeffs = np.empty(64, np.float64)
-                        coeffs[_ZIGZAG] = blk
-                        coeffs[0] = pred[cs]
-                        spatial = _C.T @ (coeffs.reshape(8, 8) * q) @ _C
-                        y0 = (my * vs + v) * 8
-                        x0 = (mx * hs + u) * 8
-                        planes[cs][y0:y0 + 8, x0:x0 + 8] = spatial
-            mcu_count += 1
-    # upsample, crop, color-convert
-    full = []
-    for cs, hs, vs, *_ in meta:
-        p = planes[cs]
-        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
+        q = qt[tq].astype(np.float64)
+        c = coeffs[cid]
+        bh, bw = c.shape[:2]
+        blocks = c.reshape(bh, bw, 8, 8) * q
+        spatial = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         ych = np.clip(full[0] + 128.0, 0, 255)
         return np.dstack([ych] * 3).round().astype(np.uint8)
@@ -366,29 +516,6 @@ def _decode_scan(b: bytes, i: int, frame, scan, qt, huff_dc, huff_ac,
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.dstack([r, g, bl]).round(), 0, 255).astype(np.uint8)
-
-
-def _decode_block(reader: _BitReader, hdc: dict, hac: dict) -> np.ndarray:
-    """One 8x8 block → 64 zigzag-ordered coefficients; [0] is the DC
-    DIFF (the caller integrates the predictor)."""
-    out = np.zeros(64, np.float64)
-    s = reader.decode_symbol(hdc)
-    out[0] = _extend(reader.read_bits(s), s)
-    k = 1
-    while k < 64:
-        rs = reader.decode_symbol(hac)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise EOFError
-        out[k] = _extend(reader.read_bits(s), s)
-        k += 1
-    return out
 
 
 # --- encoder -----------------------------------------------------------------
@@ -566,4 +693,209 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (scripted, 4:4:4) -----------------------------------
+#
+# Exists so the progressive DECODER is round-trip testable without an
+# external encoder: with the full script completed, the transmitted
+# coefficients equal the baseline-quantized ones exactly, so
+# decode(progressive(img)) must be BIT-IDENTICAL to
+# decode(baseline(img)) — a far stronger oracle than "looks plausible".
+
+def _quantized_planes(img: np.ndarray, quality: int):
+    """4:4:4 forward path → per-component (bh, bw, 64) ZIGZAG-ordered
+    quantized int coefficients plus the two quant tables."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 2:
+        img = np.dstack([img] * 3)
+    h, w = img.shape[:2]
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    chans = [0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+             -0.168736 * r - 0.331264 * g + 0.5 * b,
+             0.5 * r - 0.418688 * g - 0.081312 * b]
+    qy, qc = _quant_tables(quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = []
+    for ci, ch in enumerate(chans):
+        p = np.empty((ph, pw))
+        p[:h, :w] = ch
+        p[h:, :w] = ch[h - 1:h, :w]
+        p[:, w:] = p[:, w - 1:w]
+        blocks = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        coeffs = np.einsum("ij,xyjk,kl->xyil", _C, blocks, _C.T)
+        q = qy if ci == 0 else qc
+        qz = np.round(coeffs / q).astype(np.int64)
+        out.append(qz.reshape(ph // 8, pw // 8, 64)[..., _ZIGZAG])
+    return h, w, out, (qy, qc)
+
+
+def _tz_shift(v: int, al: int) -> int:
+    """Point transform: toward-zero shift (T.81 AC semantics)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _emit_ac_first(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                   al: int, eac: dict) -> None:
+    """One block of an AC first scan (per-block EOB0, no cross-block
+    EOB runs — legal and simplest)."""
+    r = 0
+    last_emitted = ss - 1
+    for k in range(ss, se + 1):
+        v = _tz_shift(int(zz[k]), al)
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = eac[0xF0]
+            writer.write(c, ln)
+            r -= 16
+        s, code = _magnitude(v)
+        c, ln = eac[(r << 4) | s]
+        writer.write(c, ln)
+        writer.write(code, s)
+        r = 0
+        last_emitted = k
+    if last_emitted < se:
+        c, ln = eac[0x00]
+        writer.write(c, ln)
+
+
+def _emit_ac_refine(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                    al: int, eac: dict) -> None:
+    """One block of an AC refinement scan (Ah = al+1 → transmitting bit
+    ``al``), mirroring the decoder's walk exactly: correction bits for
+    history coefficients are interleaved positionally between symbols."""
+    def hist(k):  # nonzero after the PREVIOUS scan
+        return (abs(int(zz[k])) >> (al + 1)) != 0
+
+    def corr(k):
+        return (abs(int(zz[k])) >> al) & 1
+
+    newnz = [k for k in range(ss, se + 1)
+             if (abs(int(zz[k])) >> al) == 1]
+    k = ss
+    for nz in newnz:
+        while True:
+            r = sum(1 for j in range(k, nz) if not hist(j))
+            if r <= 15:
+                break
+            c, ln = eac[0xF0]  # ZRL: crosses 16 zero-history positions
+            writer.write(c, ln)
+            cnt = 0
+            while cnt < 16:
+                if hist(k):
+                    writer.write(corr(k), 1)
+                else:
+                    cnt += 1
+                k += 1
+        c, ln = eac[(r << 4) | 1]
+        writer.write(c, ln)
+        writer.write(1 if int(zz[nz]) > 0 else 0, 1)
+        while k < nz:
+            if hist(k):
+                writer.write(corr(k), 1)
+            k += 1
+        k = nz + 1
+    if k <= se:  # EOB + the band's remaining history correction bits
+        c, ln = eac[0x00]
+        writer.write(c, ln)
+        for j in range(k, se + 1):
+            if hist(j):
+                writer.write(corr(j), 1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            mode: str = "spectral") -> bytes:
+    """HxWx3 uint8 RGB → PROGRESSIVE (SOF2) JFIF bytes, 4:4:4.
+
+    ``mode="spectral"``: DC scan + two spectral-selection AC bands per
+    component (Ah=Al=0 throughout).  ``mode="sa"``: successive
+    approximation — DC at Al=1 then a DC refinement, AC at Al=1 then an
+    AC refinement — driving the decoder's refinement paths.  Either
+    way the completed script transmits the exact baseline-quantized
+    coefficients."""
+    if mode not in ("spectral", "sa"):
+        raise ValueError(f"unknown mode: {mode}")
+    h, w, planes, (qy, qc) = _quantized_planes(img, quality)
+    bh, bw = planes[0].shape[:2]
+    edc = [_build_encode_table(*_HUFF_DC_LUMA),
+           _build_encode_table(*_HUFF_DC_CHROMA)]
+    eac = [_build_encode_table(*_HUFF_AC_LUMA),
+           _build_encode_table(*_HUFF_AC_CHROMA)]
+    tbl = [0, 1, 1]  # table id per component
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, qy), (1, qc)):
+        out += _seg(0xDB, bytes([tq])
+                    + q.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(0xC2, sof)
+    for tc, th, spec in ((0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA),
+                         (0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)):
+        counts, syms = spec
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts)
+                    + bytes(syms))
+
+    def sos(comps_td_ta: list[tuple[int, int, int]], ss, se, ah, al,
+            body: bytes) -> None:
+        hdr = bytes([len(comps_td_ta)])
+        for cid, td, ta in comps_td_ta:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(_seg(0xDA, hdr))
+        out.extend(body)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        writer = _BitWriter()
+        pred = [0, 0, 0]
+        for y in range(bh):
+            for x in range(bw):
+                for ci in range(3):
+                    dc = int(planes[ci][y, x, 0])
+                    if refine:
+                        writer.write((dc >> al) & 1, 1)
+                    else:
+                        v = dc >> al  # arithmetic shift per DC semantics
+                        s, code = _magnitude(v - pred[ci])
+                        c, ln = edc[tbl[ci]][s]
+                        writer.write(c, ln)
+                        if s:
+                            writer.write(code, s)
+                        pred[ci] = v
+        return writer.flush()
+
+    def ac_scan(ci: int, ss: int, se: int, al: int, refine: bool) -> bytes:
+        writer = _BitWriter()
+        for y in range(bh):
+            for x in range(bw):
+                zz = planes[ci][y, x]
+                if refine:
+                    _emit_ac_refine(writer, zz, ss, se, al, eac[tbl[ci]])
+                else:
+                    _emit_ac_first(writer, zz, ss, se, al, eac[tbl[ci]])
+        return writer.flush()
+
+    all_dc = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+    if mode == "spectral":
+        sos(all_dc, 0, 0, 0, 0, dc_scan(0, refine=False))
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            ta = tbl[ci]
+            sos([(cid, 0, ta)], 1, 5, 0, 0, ac_scan(ci, 1, 5, 0, False))
+            sos([(cid, 0, ta)], 6, 63, 0, 0, ac_scan(ci, 6, 63, 0, False))
+    else:  # successive approximation
+        sos(all_dc, 0, 0, 0, 1, dc_scan(1, refine=False))
+        sos(all_dc, 0, 0, 1, 0, dc_scan(0, refine=True))
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            ta = tbl[ci]
+            sos([(cid, 0, ta)], 1, 63, 0, 1,
+                ac_scan(ci, 1, 63, 1, False))
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            ta = tbl[ci]
+            sos([(cid, 0, ta)], 1, 63, 1, 0,
+                ac_scan(ci, 1, 63, 0, True))
+    out += b"\xff\xd9"
     return bytes(out)

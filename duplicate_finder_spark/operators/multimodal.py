@@ -542,10 +542,10 @@ def audio_feature(samples: np.ndarray, rate: int) -> list[float]:
 def decode_image(payload: bytes) -> np.ndarray | None:
     """REAL decode, no codec libraries: PPM P6 and uncompressed 24-bit
     BMP (pure numpy), PNG (stdlib zlib inflate + numpy defilter, all
-    five row filters incl. Paeth), GIF (pure-Python LZW), and baseline
-    JPEG (canonical Huffman + numpy IDCT, ``jpegcodec.py``). Returns
-    HxWx3 uint8 RGB, or None for formats that genuinely need an
-    external codec (progressive JPEG/WebP/…), which fall back to
+    five row filters incl. Paeth), GIF (pure-Python LZW), and JPEG —
+    baseline AND progressive (canonical Huffman + numpy IDCT,
+    ``jpegcodec.py``). Returns HxWx3 uint8 RGB, or None for formats
+    that genuinely need an external codec (WebP/…), which fall back to
     ``decode_stub``."""
     from duplicate_finder_spark.operators.jpegcodec import decode_jpeg
 

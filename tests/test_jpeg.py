@@ -114,14 +114,62 @@ def test_restart_markers_do_not_change_decode(interval, sub):
     assert rst is not None and np.array_equal(rst, plain)
 
 
-def test_progressive_is_rejected_not_mangled():
-    """Flipping SOF0→SOF2 (progressive) must yield None — the decoder
-    only claims baseline sequential."""
-    b = bytearray(encode_jpeg(_gradient(8, 8), 90))
-    i = b.find(b"\xff\xc0")
-    assert i > 0
-    b[i + 1] = 0xC2
-    assert decode_jpeg(bytes(b)) is None
+@settings(max_examples=12, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 5),
+       st.sampled_from(["spectral", "sa"]), st.data())
+def test_progressive_roundtrip_bit_identical_to_baseline(hb, wb, mode,
+                                                         data):
+    """THE progressive-decoder oracle: a completed progressive script
+    transmits the exact baseline-quantized coefficients, so its decode
+    must be BIT-IDENTICAL to the baseline decode of the same image —
+    on arbitrary random images, which drive the AC refinement walk
+    (correction bits, ZRL runs, EOB tails) through every branch."""
+    from duplicate_finder_spark.operators.jpegcodec import (
+        encode_jpeg_progressive)
+    h, w = 8 * hb - data.draw(st.integers(0, 7)), \
+        8 * wb - data.draw(st.integers(0, 7))
+    h, w = max(h, 1), max(w, 1)
+    px = data.draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    img = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    base = decode_jpeg(encode_jpeg(img, 90))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 90, mode))
+    assert prog is not None and np.array_equal(prog, base)
+
+
+def test_progressive_garbage_never_raises():
+    """Corrupting a progressive stream decodes to None or a valid
+    image, never raises."""
+    from duplicate_finder_spark.operators.jpegcodec import (
+        encode_jpeg_progressive)
+    b = encode_jpeg_progressive(_gradient(16, 16), 90, "sa")
+    for cut in (10, 50, len(b) // 2, len(b) - 3):
+        out = decode_jpeg(b[:cut])
+        assert out is None or out.ndim == 3
+    flipped = bytearray(b)
+    flipped[len(b) // 2] ^= 0xFF
+    out = decode_jpeg(bytes(flipped))
+    assert out is None or out.ndim == 3
+
+
+def test_real_progressive_jpegs_decode_when_present():
+    """Independent-encoder interop for the PROGRESSIVE path: real
+    SOF2 files found on this host (skipped gracefully elsewhere) must
+    decode deterministically to their known dimensions."""
+    import os
+    candidates = [
+        ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493, 3)),
+        ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493, 3)),
+    ]
+    present = [(p, s) for p, s in candidates if os.path.exists(p)]
+    if not present:
+        pytest.skip("no real progressive fixtures on this host")
+    for path, shape in present:
+        b = open(path, "rb").read()
+        img = decode_jpeg(b)
+        assert img is not None and img.shape == shape
+        # mostly-white stripe artwork: plausibility floor
+        assert img.mean() > 200
+        assert np.array_equal(img, decode_jpeg(b))
 
 
 def test_decode_image_dispatches_jpeg():
