@@ -51,6 +51,9 @@ from duplicate_finder_spark.operators.minhash import signatures
 from duplicate_finder_spark.operators.multimodal import (binary_meta,
                                                          extract_features,
                                                          with_payload)
+from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
+                                                         paragraph_dedup_stats,
+                                                         repetition_signals)
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
 SHIFT = 10_000_000
@@ -876,6 +879,32 @@ def q_streaming_neardup_pairs(spark, sf_dir):
         rows, "doc_id_a long, doc_id_b long, jaccard double")
 
 
+PARA_W = 3        # corpus-wide paragraph window (tokens)
+GOPHER_W = 2      # within-doc repetition window (tokens)
+
+
+def q_paragraph_dedup_stats(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup accounting: the ~30-word
+    vocabulary makes 3-token windows collide naturally across docs
+    (sf0.01: 1,756 duplicate paragraphs), so keep-first semantics are
+    exercised without a planted fixture."""
+    return paragraph_dedup_stats(_docs(spark, sf_dir), w=PARA_W)
+
+
+def q_paragraph_dedup_apply(spark, sf_dir):
+    """Rewrite docs keeping first-occurrence paragraphs only; docs whose
+    every paragraph duplicated an earlier one vanish (sf0.01: 487/500
+    survive — the disappears-entirely edge is load-bearing)."""
+    return paragraph_dedup_apply(_docs(spark, sf_dir), w=PARA_W)
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 Table A1): within-doc
+    duplicate-window fraction + char mass, and the top word-2-gram's
+    character coverage, per document."""
+    return repetition_signals(_docs(spark, sf_dir), w=GOPHER_W)
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -932,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_pairs_lsh_recall": q_embedding_pairs_lsh_recall,
+        "paragraph_dedup_stats": q_paragraph_dedup_stats,
+        "paragraph_dedup_apply": q_paragraph_dedup_apply,
+        "gopher_repetition": q_gopher_repetition,
     }
 
 
@@ -941,6 +973,25 @@ _UNION = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {SHIFT} AS doc_id, text FROM documents
+"""
+
+# paragraph fixture: non-overlapping {w}-token windows of each doc's
+# whitespace tokens (mirrors operators/paragraphs.py::paragraphs; the
+# corpus has no newline structure, so the window IS the paragraph unit)
+_PARAS = r"""
+  WITH words AS (
+    SELECT doc_id, length(text) AS doc_chars,
+           regexp_split_to_array(trim(text), '\s+') AS ws
+    FROM documents WHERE trim(text) <> ''
+  ), pidx AS (
+    SELECT doc_id, doc_chars, ws,
+           unnest(range(0, cast(ceil(len(ws) / {w}.0) AS INT))) AS i
+    FROM words
+  ), paras AS (
+    SELECT doc_id, i AS para_idx,
+           array_to_string(ws[i*{w}+1 : i*{w}+{w}], ' ') AS para
+    FROM pidx
+  )
 """
 
 _SHINGLES = r"""
@@ -1589,5 +1640,61 @@ def oracle_sql() -> dict[str, str]:
           x AS (SELECT count(*) AS c FROM s WHERE sim >= {COSINE_T})
           SELECT c::BIGINT AS n_pairs_lsh, c::BIGINT AS n_pairs_exact,
                  c::BIGINT AS n_matched, 1.0 AS recall FROM x
+        """,
+        # paragraph = non-overlapping PARA_W-token window; keep-first in
+        # (doc_id, para_idx) order. DuckDB partitions the window by the
+        # paragraph STRING, Spark by sha2(para) — identical up to the
+        # same negligible collision mass as the jaccard oracles.
+        "paragraph_dedup_stats": _PARAS.format(w=PARA_W) + """
+          , flagged AS (
+            SELECT doc_id, length(para) AS n_chars,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, para_idx) AS occ
+            FROM paras)
+          SELECT doc_id, count(*)::BIGINT AS n_paras,
+                 sum((occ > 1)::INT)::BIGINT AS n_dup_paras,
+                 round(sum(CASE WHEN occ > 1 THEN n_chars ELSE 0 END)
+                       * 1.0 / sum(n_chars), 6) AS dup_char_frac
+          FROM flagged GROUP BY doc_id
+        """,
+        "paragraph_dedup_apply": _PARAS.format(w=PARA_W) + """
+          , kept AS (
+            SELECT doc_id, para_idx, para FROM paras
+            QUALIFY row_number() OVER (PARTITION BY para
+                                       ORDER BY doc_id, para_idx) = 1)
+          SELECT doc_id,
+                 string_agg(para, ' ' ORDER BY para_idx) AS clean_text,
+                 count(*)::BIGINT AS n_kept
+          FROM kept GROUP BY doc_id
+        """,
+        "gopher_repetition": _PARAS.format(w=GOPHER_W) + r"""
+          , pflag AS (
+            SELECT doc_id, length(para) AS n_chars,
+                   row_number() OVER (PARTITION BY doc_id, para
+                                      ORDER BY para_idx) AS occ
+            FROM paras),
+          pstats AS (
+            SELECT doc_id, count(*)::BIGINT AS n_paras,
+                   sum((occ > 1)::INT)::BIGINT AS n_dup_paras,
+                   round(sum(CASE WHEN occ > 1 THEN n_chars ELSE 0 END)
+                         * 1.0 / sum(n_chars), 6) AS dup_para_char_frac
+            FROM pflag GROUP BY doc_id),
+          gidx AS (
+            SELECT doc_id, doc_chars, ws, unnest(range(1, len(ws))) AS i
+            FROM words WHERE len(ws) >= 2),
+          gcnt AS (
+            SELECT doc_id, doc_chars, ws[i] || ' ' || ws[i+1] AS gram,
+                   count(*)::BIGINT AS cnt
+            FROM gidx GROUP BY ALL),
+          gtop AS (
+            SELECT doc_id, gram AS top_2gram,
+                   round(cnt * length(gram) * 1.0 / doc_chars, 6)
+                     AS top_2gram_char_frac
+            FROM gcnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, gram) = 1)
+          SELECT p.doc_id, p.n_paras, p.n_dup_paras, p.dup_para_char_frac,
+                 g.top_2gram, g.top_2gram_char_frac
+          FROM pstats p JOIN gtop g USING (doc_id)
         """,
     }

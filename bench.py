@@ -28,6 +28,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "tpch_pricing_summary",
     "nation_order_revenue",
+    # round 4: webtext-payload paragraph ops (headline dedup metric is
+    # unchanged — these add per-query walls only)
+    "paragraph_dedup_stats",
+    "gopher_repetition",
 ]
 
 
