@@ -51,6 +51,9 @@ from duplicate_finder_spark.operators.minhash import signatures
 from duplicate_finder_spark.operators.multimodal import (binary_meta,
                                                          extract_features,
                                                          with_payload)
+from duplicate_finder_spark.operators.contamination import (
+    contamination_check, ngram_census)
+from duplicate_finder_spark.operators.curation import curation_funnel
 from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
@@ -905,6 +908,44 @@ def q_gopher_repetition(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir), w=GOPHER_W)
 
 
+CONTAM_N = 6      # probe n-gram length (GPT-3 used 13; scaled to corpus)
+CENSUS_N = 3      # census n-gram length
+EVAL_MOD = 50     # doc_id % EVAL_MOD == 7 → held-out "benchmark" docs
+
+
+def q_eval_contamination(spark, sf_dir):
+    """Benchmark decontamination: fraction of each held-out doc's word
+    6-grams occurring verbatim in the training split (deterministic
+    split: doc_id % 50 == 7 is eval). Planted near-dups score ~0.97,
+    clean docs 0.0 — the gate separates cleanly at sf0.01. One pass
+    over train with the eval gram set broadcast."""
+    docs = _docs(spark, sf_dir)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 7
+    return contamination_check(docs.filter(~is_eval), docs.filter(is_eval),
+                               n=CONTAM_N)
+
+
+def q_ngram_dup_census(spark, sf_dir):
+    """Memorization-risk audit: histogram of cross-document word-3-gram
+    repetition — (n_docs, n_grams) for grams in ≥2 distinct docs. Gram
+    text never shuffles (sha2 keys, map-side combine)."""
+    return ngram_census(_docs(spark, sf_dir), n=CENSUS_N)
+
+
+def q_curation_funnel(spark, sf_dir):
+    """RefinedWeb-style curation chain composed from the engine's own
+    operators — quality gate (min 20 tokens, Gopher dup-window ≤ 0.07)
+    → eval decontamination (shared 6-gram ⇒ out) → CCNet paragraph
+    dedup — with per-stage doc/char accounting. Every stage drops docs
+    at sf0.01 (490 → 432 → 430 → 419), so the whole chain is
+    load-bearing, not decorative."""
+    return curation_funnel(_docs(spark, sf_dir),
+                           (F.col("doc_id") % EVAL_MOD) == 7,
+                           min_tokens=20, max_dup_frac=0.07,
+                           gopher_w=GOPHER_W, contam_n=CONTAM_N,
+                           para_w=PARA_W)
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -964,6 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_stats": q_paragraph_dedup_stats,
         "paragraph_dedup_apply": q_paragraph_dedup_apply,
         "gopher_repetition": q_gopher_repetition,
+        "eval_contamination": q_eval_contamination,
+        "ngram_dup_census": q_ngram_dup_census,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -991,6 +1035,23 @@ _PARAS = r"""
     SELECT doc_id, i AS para_idx,
            array_to_string(ws[i*{w}+1 : i*{w}+{w}], ' ') AS para
     FROM pidx
+  )
+"""
+
+# per-doc-DISTINCT overlapping word {n}-grams (mirrors
+# operators/contamination.py::_doc_grams; docs with < n tokens yield none)
+_NGRAMS = r"""
+  WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+    FROM documents
+  ), grams AS (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(t) < {n} THEN []::VARCHAR[]
+           ELSE [array_to_string(t[i:i+{n}-1], ' ')
+                 for i in range(1, len(t) - {n} + 2)] END)) AS gram
+    FROM toks
   )
 """
 
@@ -1696,5 +1757,126 @@ def oracle_sql() -> dict[str, str]:
           SELECT p.doc_id, p.n_paras, p.n_dup_paras, p.dup_para_char_frac,
                  g.top_2gram, g.top_2gram_char_frac
           FROM pstats p JOIN gtop g USING (doc_id)
+        """,
+        # per-doc-distinct word n-grams; Spark joins by xxhash64 with a
+        # string-equality collision guard, so semantics are exactly the
+        # string join below.
+        "eval_contamination": _NGRAMS.format(n=CONTAM_N) + f"""
+          , eg AS (SELECT doc_id, gram FROM grams
+                   WHERE doc_id % {EVAL_MOD} = 7),
+          tg AS (SELECT DISTINCT gram FROM grams
+                 WHERE doc_id % {EVAL_MOD} <> 7),
+          hits AS (
+            SELECT e.doc_id, count(*)::BIGINT AS n_grams,
+                   sum((t.gram IS NOT NULL)::INT)::BIGINT AS n_hit
+            FROM eg e LEFT JOIN tg t USING (gram) GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(n_grams, 0)::BIGINT AS n_grams,
+                 coalesce(n_hit, 0)::BIGINT AS n_hit,
+                 CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                      ELSE round(n_hit * 1.0 / n_grams, 6)
+                 END AS contamination_frac
+          FROM (SELECT DISTINCT doc_id FROM documents
+                WHERE doc_id % {EVAL_MOD} = 7) d
+          LEFT JOIN hits USING (doc_id)
+        """,
+        # Spark aggregates on sha2(gram) — identical up to the same
+        # negligible collision mass as the paragraph oracles.
+        "ngram_dup_census": _NGRAMS.format(n=CENSUS_N) + """
+          , gd AS (SELECT gram, count(*)::BIGINT AS n_docs
+                   FROM grams GROUP BY 1)
+          SELECT n_docs, count(*)::BIGINT AS n_grams
+          FROM gd WHERE n_docs >= 2 GROUP BY 1
+        """,
+        # mirrors operators/curation.py::curation_funnel stage by stage
+        # (constants inlined: eval doc_id%50=7, min_tokens 20, Gopher
+        # w=2 dup-frac ≤ 0.07, contamination 6-grams, paragraph w=3)
+        "curation_funnel": r"""
+          WITH train AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 7
+          ), ev AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7
+          ), long_enough AS (
+            SELECT doc_id, text FROM train
+            WHERE (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END) >= 20
+          ), gw AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM long_enough
+          ), gidx AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, cast(ceil(len(ws)/2.0) AS INT))) AS i
+            FROM gw
+          ), gparas AS (
+            SELECT doc_id, i AS para_idx,
+                   array_to_string(ws[i*2+1 : i*2+2], ' ') AS para
+            FROM gidx
+          ), gflag AS (
+            SELECT doc_id, length(para) AS n_chars,
+                   row_number() OVER (PARTITION BY doc_id, para
+                                      ORDER BY para_idx) AS occ
+            FROM gparas
+          ), dupf AS (
+            SELECT doc_id, sum(CASE WHEN occ > 1 THEN n_chars ELSE 0 END)
+                           * 1.0 / sum(n_chars) AS f
+            FROM gflag GROUP BY 1
+          ), quality AS (
+            SELECT le.doc_id, le.text
+            FROM long_enough le JOIN dupf USING (doc_id)
+            WHERE dupf.f <= 0.07
+          ), egrams AS (
+            SELECT DISTINCT unnest(
+              CASE WHEN len(t) < 6 THEN []::VARCHAR[]
+                   ELSE [array_to_string(t[i:i+5], ' ')
+                         for i in range(1, len(t)-4)] END) AS g
+            FROM (SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                         ELSE regexp_split_to_array(trim(text), '\s+')
+                         END AS t FROM ev)
+          ), tgrams AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(t) < 6 THEN []::VARCHAR[]
+                   ELSE [array_to_string(t[i:i+5], ' ')
+                         for i in range(1, len(t)-4)] END) AS g
+            FROM (SELECT doc_id,
+                         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                         ELSE regexp_split_to_array(trim(text), '\s+')
+                         END AS t FROM quality)
+          ), dirty AS (
+            SELECT DISTINCT doc_id FROM tgrams JOIN egrams USING (g)
+          ), decon AS (
+            SELECT q.doc_id, q.text FROM quality q
+            ANTI JOIN dirty d ON q.doc_id = d.doc_id
+          ), dwords AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM decon WHERE trim(text) <> ''
+          ), didx AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, cast(ceil(len(ws)/3.0) AS INT))) AS i
+            FROM dwords
+          ), dparas AS (
+            SELECT doc_id, i AS para_idx,
+                   array_to_string(ws[i*3+1 : i*3+3], ' ') AS para
+            FROM didx
+          ), kept AS (
+            SELECT doc_id, para_idx, para FROM dparas
+            QUALIFY row_number() OVER (PARTITION BY para
+                                       ORDER BY doc_id, para_idx) = 1
+          ), dedup AS (
+            SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx)
+                   AS clean_text
+            FROM kept GROUP BY 1
+          )
+          SELECT 0::BIGINT AS stage_idx, 'raw' AS stage,
+                 count(*)::BIGINT AS n_docs,
+                 coalesce(sum(length(text)), 0)::BIGINT AS n_chars
+          FROM train
+          UNION ALL SELECT 1, 'quality', count(*),
+                           coalesce(sum(length(text)), 0) FROM quality
+          UNION ALL SELECT 2, 'decontaminated', count(*),
+                           coalesce(sum(length(text)), 0) FROM decon
+          UNION ALL SELECT 3, 'para_deduped', count(*),
+                           coalesce(sum(length(clean_text)), 0) FROM dedup
         """,
     }

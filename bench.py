@@ -32,6 +32,7 @@ HEADLINE = [
     # unchanged — these add per-query walls only)
     "paragraph_dedup_stats",
     "gopher_repetition",
+    "eval_contamination",
 ]
 
 

@@ -1,0 +1,106 @@
+"""End-to-end training-corpus curation funnel (RefinedWeb-style compose).
+
+The reference is a single-purpose tool: group files by hash, delete
+duplicates (duplicate_finder.py: scan → group → delete). A web-scale
+training-data pipeline runs that dedup as ONE stage of a funnel; this
+module composes the engine's own operators into the canonical chain and
+accounts for every stage so curation decisions are auditable:
+
+  raw (train split)
+    → quality gate        (Gopher-style: min tokens, within-doc
+                           duplicate-window character fraction)
+    → decontamination     (drop train docs sharing any word n-gram with
+                           the held-out eval split — Lee et al. 2021;
+                           GPT-3 Appendix C)
+    → paragraph dedup     (CCNet corpus-wide keep-first; docs whose
+                           every paragraph duplicated an earlier one
+                           vanish, survivors are rewritten)
+
+Output is the funnel itself: one row per stage with surviving doc count
+and character mass — the numbers a curation report prints.
+
+Scale notes (100 TB):
+- Every stage reuses an operator whose plan is already scale-vetted:
+  within-doc flags from operators/paragraphs.py (narrow + one combine-
+  friendly agg), decontamination from operators/contamination.py's
+  broadcast-probe shape (one pass over train, eval grams broadcast),
+  paragraph apply's single sha2-keyed shuffle.
+- The four stage aggregates are unioned; each is a count+sum over a
+  progressively filtered branch sharing the same scan. At cluster scale
+  you would cache the quality survivors before fanning out — here the
+  branches are cheap relative to the dedup shuffle they share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.functions.text import token_count, tokens
+from duplicate_finder_spark.operators.contamination import ngrams
+from duplicate_finder_spark.operators.paragraphs import (
+    _flag_occurrences, paragraph_dedup_apply, paragraphs)
+
+__all__ = ["curation_funnel"]
+
+
+def _stage(df: DataFrame, idx: int, name: str,
+           chars_col: str = "text") -> DataFrame:
+    return df.agg(
+        F.lit(idx).alias("stage_idx"),
+        F.lit(name).alias("stage"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.length(chars_col)), F.lit(0))
+         .cast("long").alias("n_chars"))
+
+
+def curation_funnel(docs: DataFrame, eval_pred: Column,
+                    min_tokens: int = 20, max_dup_frac: float = 0.07,
+                    gopher_w: int = 2, contam_n: int = 6,
+                    para_w: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Run the curation chain; return per-stage (idx, name, docs, chars).
+
+    ``eval_pred`` marks held-out benchmark docs: they are excluded from
+    the funnel at stage 0 (they are not training data) and their n-grams
+    are the decontamination probe set.
+    """
+    train = docs.filter(~eval_pred).select(id_col, text_col)
+    ev = docs.filter(eval_pred).select(id_col, text_col)
+
+    # stage 1 — quality: length floor + Gopher duplicate-window gate.
+    # Docs below min_tokens never reach the paragraph flagging.
+    long_enough = train.filter(token_count(text_col) >= min_tokens)
+    dupf = (_flag_occurrences(
+                paragraphs(long_enough, gopher_w, id_col, text_col),
+                id_col, within_doc=True)
+            .groupBy(id_col)
+            .agg((F.sum(F.when(F.col("occ") > 1, F.col("n_chars"))
+                        .otherwise(0)) / F.sum("n_chars")).alias("_dupf")))
+    quality = (long_enough
+               .join(dupf.filter(F.col("_dupf") <= max_dup_frac)
+                         .select(id_col), id_col, "semi"))
+
+    # stage 2 — decontamination: any shared contam_n-gram with eval ⇒ out.
+    probe = (ev.select(tokens(text_col).alias("_toks"))
+               .select(F.explode(ngrams(F.col("_toks"), contam_n))
+                        .alias("_egram"))
+               .distinct()
+               .withColumn("_h", F.xxhash64("_egram")))
+    tgrams = (quality.select(id_col, tokens(text_col).alias("_toks"))
+              .select(id_col, F.explode(ngrams(F.col("_toks"), contam_n))
+                               .alias("_tgram")))
+    dirty = (tgrams.join(F.broadcast(probe),
+                         F.xxhash64("_tgram") == F.col("_h"), "inner")
+                   .filter(F.col("_tgram") == F.col("_egram"))
+                   .select(id_col).distinct())
+    decon = quality.join(dirty, id_col, "left_anti")
+
+    # stage 3 — CCNet paragraph dedup over the survivors.
+    deduped = paragraph_dedup_apply(decon, para_w, id_col, text_col)
+
+    return (_stage(train, 0, "raw")
+            .unionByName(_stage(quality, 1, "quality"))
+            .unionByName(_stage(decon, 2, "decontaminated"))
+            .unionByName(_stage(deduped, 3, "para_deduped",
+                                chars_col="clean_text")))
