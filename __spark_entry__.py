@@ -54,6 +54,8 @@ from duplicate_finder_spark.operators.multimodal import (binary_meta,
 from duplicate_finder_spark.operators.contamination import (
     contamination_check, ngram_census)
 from duplicate_finder_spark.operators.curation import curation_funnel
+from duplicate_finder_spark.operators.exact_substr import (
+    exact_substr_apply, exact_substr_spans)
 from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
@@ -946,6 +948,28 @@ def q_curation_funnel(spark, sf_dir):
                            para_w=PARA_W)
 
 
+EXSUB_L = 30  # ExactSubstr anchor length, chars (Lee et al. used 50 tokens;
+              # 30 chars ≈ 5 words separates planted from incidental dups
+              # cleanly at this corpus's ~300-char docs)
+
+
+def q_exact_substr_spans(spark, sf_dir):
+    """Lee-et-al ExactSubstr audit view: every maximal character span of
+    length ≥ 30 occurring verbatim ≥ 2 times anywhere in the corpus
+    (all occurrences reported). Anchor-gram + island plan — one 32-byte
+    exchange per character position, text never shuffles."""
+    return exact_substr_spans(_docs(spark, sf_dir), length=EXSUB_L)
+
+
+def q_exact_substr_apply(spark, sf_dir):
+    """ExactSubstr keep-first mutation: duplicated spans after their
+    globally-first occurrence (ranked by doc_id, position) are spliced
+    out of the text by a JVM aggregate fold; untouched docs pass through
+    byte-identical. The suffix-array pass of Lee et al. 2021 §4.1,
+    re-expressed as anchor grams + one window rank + islands."""
+    return exact_substr_apply(_docs(spark, sf_dir), length=EXSUB_L)
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1008,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_contamination": q_eval_contamination,
         "ngram_dup_census": q_ngram_dup_census,
         "curation_funnel": q_curation_funnel,
+        "exact_substr_spans": q_exact_substr_spans,
+        "exact_substr_apply": q_exact_substr_apply,
     }
 
 
@@ -1878,5 +1904,69 @@ def oracle_sql() -> dict[str, str]:
                            coalesce(sum(length(text)), 0) FROM decon
           UNION ALL SELECT 3, 'para_deduped', count(*),
                            coalesce(sum(length(clean_text)), 0) FROM dedup
+        """,
+        # Spark keys anchor grams by the (xxhash64, salted-xxhash64)
+        # 128-bit pair; the oracle joins gram STRINGS — identical up to
+        # the same negligible collision mass as the sha2 paragraph
+        # oracles (module docstring, operators/exact_substr.py).
+        "exact_substr_spans": f"""
+          WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {EXSUB_L} + 2)) AS p
+            FROM documents WHERE length(text) >= {EXSUB_L}
+          ), grams AS (
+            SELECT doc_id, p, substr(text, p::INT, {EXSUB_L}) AS g FROM pos
+          ), dupg AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+          ), flagged AS (
+            SELECT doc_id, p FROM grams JOIN dupg USING (g)
+          ), isl AS (
+            SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS i
+            FROM flagged
+          )
+          SELECT doc_id, min(p)::BIGINT AS span_start,
+                 (max(p) - min(p) + {EXSUB_L})::BIGINT AS span_len
+          FROM isl GROUP BY doc_id, i
+        """,
+        "exact_substr_apply": f"""
+          WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {EXSUB_L} + 2)) AS p
+            FROM documents WHERE length(text) >= {EXSUB_L}
+          ), grams AS (
+            SELECT doc_id, p, substr(text, p::INT, {EXSUB_L}) AS g FROM pos
+          ), ranked AS (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, p)
+                   AS occ
+            FROM grams
+          ), flagged AS (
+            SELECT doc_id, p FROM ranked WHERE occ >= 2
+          ), isl AS (
+            SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS i
+            FROM flagged
+          ), spans AS (
+            SELECT doc_id, min(p) AS s, max(p) + {EXSUB_L} - 1 AS e
+            FROM isl GROUP BY doc_id, i
+          ), segs AS (
+            SELECT doc_id, coalesce(lag(e) OVER w + 1, 1) AS ks, s - 1 AS ke
+            FROM spans WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+            UNION ALL
+            SELECT sp.doc_id, max(sp.e) + 1, max(length(d.text))
+            FROM spans sp JOIN documents d USING (doc_id)
+            GROUP BY sp.doc_id
+          ), rebuilt AS (
+            SELECT s.doc_id,
+                   string_agg(CASE WHEN ke >= ks
+                              THEN substr(d.text, ks::INT, (ke - ks + 1)::INT)
+                              ELSE '' END, '' ORDER BY ks) AS clean_text
+            FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id
+          )
+          SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
     }

@@ -33,6 +33,7 @@ HEADLINE = [
     "paragraph_dedup_stats",
     "gopher_repetition",
     "eval_contamination",
+    "exact_substr_apply",
 ]
 
 
