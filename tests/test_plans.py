@@ -216,3 +216,34 @@ def test_simhash_block_table_reuses_exchanges(parquet_pages):
             and "Reused" not in ln]
     assert len(live) <= 2, fin
     assert fin.count("ReusedExchange") >= 2, fin
+
+
+def test_exact_substr_text_never_shuffles(parquet_pages):
+    """operators/exact_substr.py scale claim: the per-position explode
+    is narrow, and every Exchange in the anchor-gram / ranking / island
+    path ships only (ids, positions, hash keys) — never text. The one
+    place text may legitimately travel is the final splice join's
+    recomposition, keyed by skew-free doc_id (broadcast at test scale;
+    a doc_id shuffle at cluster scale — same contract as
+    paragraph_dedup_apply). The whole plan is JVM-only."""
+    import re
+
+    from duplicate_finder_spark.operators.exact_substr import (
+        exact_substr_apply, exact_substr_spans)
+
+    docs = parquet_pages.select(F.col("url").alias("doc_id"),
+                                F.col("text"))
+    for df in (exact_substr_spans(docs, 30, id_col="doc_id"),
+               exact_substr_apply(docs, 30, id_col="doc_id")):
+        plan = _plan(df)
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        # formatted detail blocks: "(n) Exchange\nArguments: ...\n...
+        # Input [k]: [...]" — capture partition keys + exchanged schema
+        blocks = re.findall(
+            r"\(\d+\) Exchange\b.*?\nInput \[\d+\]: \[(.*?)\]"
+            r".*?\nArguments: (.*?)\n", plan, flags=re.S)
+        assert blocks, plan  # the parse must find the exchanges
+        for cols, args in blocks:
+            if re.search(r"hashpartitioning\(doc_id#\d+", args):
+                continue  # recomposition exchange: text allowed
+            assert "text#" not in cols, (args, cols)
