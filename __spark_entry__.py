@@ -953,6 +953,25 @@ EXSUB_L = 30  # ExactSubstr anchor length, chars (Lee et al. used 50 tokens;
               # cleanly at this corpus's ~300-char docs)
 
 
+def q_neardup_dedup_apply(spark, sf_dir):
+    """The flagship chain as ONE keep-first mutation — MinHash/LSH
+    candidates → sketch-bounded exact verify → connected components →
+    drop every cluster member except the minimum doc_id → surviving
+    corpus. This is the near-dup generalization of the reference's
+    delete step (duplicate_finder.py keep-first unlink), end-to-end
+    through the scale path."""
+    docs = _docs(spark, sf_dir)
+    verified = _verified_near_dup_pairs(spark, sf_dir)
+    assign = connected_components(
+        verified.select(F.col("url_a").alias("src"),
+                        F.col("url_b").alias("dst")))
+    drop = (assign.filter(F.col("url") != F.col("cluster_id"))
+            .select(F.col("url").cast("long").alias("doc_id")))
+    return (docs.join(drop, "doc_id", "left_anti")
+            .select("doc_id", F.length("text").cast("long")
+                    .alias("n_chars")))
+
+
 def q_exact_substr_spans(spark, sf_dir):
     """Lee-et-al ExactSubstr audit view: every maximal character span of
     length ≥ 30 occurring verbatim ≥ 2 times anywhere in the corpus
@@ -1034,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
+        "neardup_dedup_apply": q_neardup_dedup_apply,
     }
 
 
@@ -1436,6 +1456,27 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT min(r) AS cluster_id, node AS doc_id
           FROM reach GROUP BY node
+        """,
+        # same recursive components as cc_clusters, then keep-first:
+        # every member except the component minimum is dropped
+        "neardup_dedup_apply": _SHINGLES.replace(
+            "WITH toksrc", "WITH RECURSIVE toksrc", 1) + f"""
+          , pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {JACCARD_T}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT e.dst AS node, reach.r
+            FROM reach JOIN edges e ON e.src = reach.node
+          ),
+          dropped AS (
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING node <> min(r)
+          )
+          SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+          FROM documents d ANTI JOIN dropped USING (doc_id)
         """,
         "ann_cosine_topk": f"""
           WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
