@@ -56,6 +56,8 @@ from duplicate_finder_spark.operators.contamination import (
 from duplicate_finder_spark.operators.curation import curation_funnel
 from duplicate_finder_spark.operators.exact_substr import (
     exact_substr_apply, exact_substr_spans)
+from duplicate_finder_spark.operators.sampling import (
+    stratified_sample, token_budget_sample)
 from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
@@ -953,6 +955,23 @@ EXSUB_L = 30  # ExactSubstr anchor length, chars (Lee et al. used 50 tokens;
               # cleanly at this corpus's ~300-char docs)
 
 
+SAMPLE_K = 20           # stratified quota per language
+SAMPLE_BUDGET = 3000    # token budget per language
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing quota: the 20 hash-first docs of each
+    language (md5 order key — engine-portable, partition-invariant)."""
+    return stratified_sample(_docs(spark, sf_dir), "lang", SAMPLE_K)
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget fill per language: walk docs in md5 hash order,
+    keep while the running token total stays ≤ 3000 (hard cap)."""
+    return token_budget_sample(_docs(spark, sf_dir), "lang",
+                               SAMPLE_BUDGET, token_count("text"))
+
+
 def q_neardup_dedup_apply(spark, sf_dir):
     """The flagship chain as ONE keep-first mutation — MinHash/LSH
     candidates → sketch-bounded exact verify → connected components →
@@ -1054,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
         "neardup_dedup_apply": q_neardup_dedup_apply,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
@@ -1477,6 +1498,32 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
           FROM documents d ANTI JOIN dropped USING (doc_id)
+        """,
+        # md5(id-as-string) is the engine-portable order key — DuckDB
+        # and Spark produce the same hex digest byte-for-byte
+        "stratified_sample": f"""
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS rank
+          FROM documents
+          QUALIFY rank <= {SAMPLE_K}
+        """,
+        "token_budget_sample": f"""
+          WITH t AS (
+            SELECT lang, doc_id,
+                   (CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END)::BIGINT AS n_tokens
+            FROM documents
+          )
+          SELECT lang, doc_id, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+          FROM t
+          QUALIFY cum_tokens <= {SAMPLE_BUDGET}
         """,
         "ann_cosine_topk": f"""
           WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
