@@ -41,7 +41,7 @@ from duplicate_finder_spark.operators.contamination import ngrams
 from duplicate_finder_spark.operators.paragraphs import (
     _flag_occurrences, paragraph_dedup_apply, paragraphs)
 
-__all__ = ["curation_funnel"]
+__all__ = ["quality_gate", "decontaminate", "curation_funnel"]
 
 
 def _stage(df: DataFrame, idx: int, name: str,
@@ -52,6 +52,48 @@ def _stage(df: DataFrame, idx: int, name: str,
         F.count("*").cast("long").alias("n_docs"),
         F.coalesce(F.sum(F.length(chars_col)), F.lit(0))
          .cast("long").alias("n_chars"))
+
+
+def quality_gate(train: DataFrame, min_tokens: int = 20,
+                 max_dup_frac: float = 0.07, w: int = 2,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Gopher-style quality stage: token-length floor plus a
+    duplicate-window character-fraction ceiling. Docs below the floor
+    never reach the paragraph flagging (narrow prefilter); the
+    dup-fraction agg is one combine-friendly shuffle, and survivors
+    come back through a broadcast-able semi-join."""
+    long_enough = train.filter(token_count(text_col) >= min_tokens)
+    dupf = (_flag_occurrences(
+                paragraphs(long_enough, w, id_col, text_col),
+                id_col, within_doc=True)
+            .groupBy(id_col)
+            .agg((F.sum(F.when(F.col("occ") > 1, F.col("n_chars"))
+                        .otherwise(0)) / F.sum("n_chars")).alias("_dupf")))
+    return long_enough.join(
+        dupf.filter(F.col("_dupf") <= max_dup_frac).select(id_col),
+        id_col, "semi")
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 6,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Drop every train doc sharing any word n-gram with the eval set
+    (Lee et al. 2021; GPT-3 Appendix C). One pass over train, eval
+    grams broadcast, xxhash64 probe with a string-equality collision
+    guard — same shape as contamination_check, but as a mutation."""
+    probe = (eval_docs.select(tokens(text_col).alias("_toks"))
+             .select(F.explode(ngrams(F.col("_toks"), n)).alias("_egram"))
+             .distinct()
+             .withColumn("_h", F.xxhash64("_egram")))
+    tgrams = (train.select(id_col, tokens(text_col).alias("_toks"))
+              .select(id_col, F.explode(ngrams(F.col("_toks"), n))
+                               .alias("_tgram")))
+    dirty = (tgrams.join(F.broadcast(probe),
+                         F.xxhash64("_tgram") == F.col("_h"), "inner")
+             .filter(F.col("_tgram") == F.col("_egram"))
+             .select(id_col).distinct())
+    return train.join(dirty, id_col, "left_anti")
 
 
 def curation_funnel(docs: DataFrame, eval_pred: Column,
@@ -68,33 +110,11 @@ def curation_funnel(docs: DataFrame, eval_pred: Column,
     train = docs.filter(~eval_pred).select(id_col, text_col)
     ev = docs.filter(eval_pred).select(id_col, text_col)
 
-    # stage 1 — quality: length floor + Gopher duplicate-window gate.
-    # Docs below min_tokens never reach the paragraph flagging.
-    long_enough = train.filter(token_count(text_col) >= min_tokens)
-    dupf = (_flag_occurrences(
-                paragraphs(long_enough, gopher_w, id_col, text_col),
-                id_col, within_doc=True)
-            .groupBy(id_col)
-            .agg((F.sum(F.when(F.col("occ") > 1, F.col("n_chars"))
-                        .otherwise(0)) / F.sum("n_chars")).alias("_dupf")))
-    quality = (long_enough
-               .join(dupf.filter(F.col("_dupf") <= max_dup_frac)
-                         .select(id_col), id_col, "semi"))
-
-    # stage 2 — decontamination: any shared contam_n-gram with eval ⇒ out.
-    probe = (ev.select(tokens(text_col).alias("_toks"))
-               .select(F.explode(ngrams(F.col("_toks"), contam_n))
-                        .alias("_egram"))
-               .distinct()
-               .withColumn("_h", F.xxhash64("_egram")))
-    tgrams = (quality.select(id_col, tokens(text_col).alias("_toks"))
-              .select(id_col, F.explode(ngrams(F.col("_toks"), contam_n))
-                               .alias("_tgram")))
-    dirty = (tgrams.join(F.broadcast(probe),
-                         F.xxhash64("_tgram") == F.col("_h"), "inner")
-                   .filter(F.col("_tgram") == F.col("_egram"))
-                   .select(id_col).distinct())
-    decon = quality.join(dirty, id_col, "left_anti")
+    # stage 1 — quality: length floor + Gopher duplicate-window gate
+    quality = quality_gate(train, min_tokens, max_dup_frac, gopher_w,
+                           id_col, text_col)
+    # stage 2 — decontamination: any shared contam_n-gram with eval ⇒ out
+    decon = decontaminate(quality, ev, contam_n, id_col, text_col)
 
     # stage 3 — CCNet paragraph dedup over the survivors.
     deduped = paragraph_dedup_apply(decon, para_w, id_col, text_col)

@@ -1,0 +1,174 @@
+"""spark-submit entry for the corpus-curation pipeline:
+
+    spark-submit --py-files dist/duplicate_finder_spark.zip \\
+        jobs/curate.py --input /path/docs_parquet \\
+        --eval-input /path/benchmark_parquet --warehouse /path/wh
+
+The training-data complement to jobs/dedup.py: quality gate →
+benchmark decontamination → CCNet paragraph dedup → (optional)
+ExactSubstr span removal → (optional) per-stratum token-budget
+sampling — every stage checkpointed through the Warehouse facade
+(fingerprint-keyed resume-on-rerun), per-stage rows/walls logged to
+the ``metrics`` table, the surviving corpus written to ``curated``,
+and one JSON funnel summary printed for the orchestrator.
+
+The eval split is either a separate table (``--eval-input``) or a
+deterministic id split (``--eval-mod N --eval-rem R`` marks
+``id % N == R`` as held-out benchmark docs, excluded from training
+output and used as the decontamination probe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.functions.text import token_count
+from duplicate_finder_spark.operators.curation import (decontaminate,
+                                                       quality_gate)
+from duplicate_finder_spark.operators.exact_substr import exact_substr_apply
+from duplicate_finder_spark.operators.paragraphs import paragraph_dedup_apply
+from duplicate_finder_spark.operators.sampling import token_budget_sample
+from duplicate_finder_spark.warehouse import get_warehouse
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="curate-job")
+    p.add_argument("--input", required=True,
+                   help="documents table: parquet path (id/text[/strata])"
+                        " or catalog.ns.table with --format iceberg")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--format", choices=("parquet", "iceberg"),
+                   default="parquet")
+    p.add_argument("--eval-input", default=None,
+                   help="held-out benchmark table (parquet path); "
+                        "mutually exclusive with --eval-mod")
+    p.add_argument("--eval-mod", type=int, default=0,
+                   help="deterministic eval split: id %% MOD == REM")
+    p.add_argument("--eval-rem", type=int, default=7)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--max-dup-frac", type=float, default=0.07)
+    p.add_argument("--gopher-w", type=int, default=2)
+    p.add_argument("--contam-n", type=int, default=6)
+    p.add_argument("--para-w", type=int, default=3)
+    p.add_argument("--exact-substr-len", type=int, default=0,
+                   help="> 0: remove later occurrences of duplicated "
+                        "spans of this char length after paragraph dedup")
+    p.add_argument("--sample-strata", default=None,
+                   help="stratum column for token-budget sampling "
+                        "(stage skipped when unset)")
+    p.add_argument("--sample-budget", type=int, default=0,
+                   help="token budget per stratum (with --sample-strata)")
+    p.add_argument("--input-id", default=None,
+                   help="stable id for the input snapshot (stage-cache "
+                        "key); defaults to the input path")
+    return p.parse_args(argv)
+
+
+def _fingerprint(args: argparse.Namespace) -> str:
+    import hashlib
+    key = json.dumps({
+        k: getattr(args, k) for k in (
+            "eval_input", "eval_mod", "eval_rem", "min_tokens",
+            "max_dup_frac", "gopher_w", "contam_n", "para_w",
+            "exact_substr_len", "sample_strata", "sample_budget")},
+        sort_keys=True)
+    base = args.input_id or args.input
+    return hashlib.sha256(f"{base}|{key}".encode()).hexdigest()[:16]
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    if bool(args.eval_input) == bool(args.eval_mod):
+        print("exactly one of --eval-input / --eval-mod is required",
+              file=sys.stderr)
+        return 2
+
+    spark = (SparkSession.builder
+             .appName("duplicate-finder-spark:curate")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    idc, txc = args.id_col, args.text_col
+    try:
+        if args.format == "iceberg":
+            docs = spark.table(args.input)
+        else:
+            docs = spark.read.parquet(args.input)
+        # strata column (if any) rejoins at the end by id — the funnel
+        # itself runs on the minimal (id, text) projection
+        if args.eval_input:
+            train = docs
+            ev = spark.read.parquet(args.eval_input)
+        else:
+            pred = (F.col(idc) % args.eval_mod) == args.eval_rem
+            train, ev = docs.filter(~pred), docs.filter(pred)
+        train = train.select(idc, txc) if args.sample_strata is None \
+            else train.select(idc, txc, args.sample_strata)
+
+        wh = get_warehouse(spark, args.warehouse, fmt=args.format)
+        fp = _fingerprint(args)
+        metrics: list[dict] = []
+
+        def staged(name, compute):
+            t0 = time.time()
+            df, resumed = wh.checkpoint_or_compute(f"{name}_{fp}", fp,
+                                                   compute)
+            metrics.append({
+                "stage": name, "rows": wh.manifest(f"{name}_{fp}").rows,
+                "wall_sec": round(time.time() - t0, 3),
+                "resumed": resumed, "fingerprint": fp})
+            return df
+
+        quality = staged("quality", lambda: quality_gate(
+            train.select(idc, txc), args.min_tokens, args.max_dup_frac,
+            args.gopher_w, idc, txc))
+        decon = staged("decontaminated", lambda: decontaminate(
+            quality, ev.select(idc, txc), args.contam_n, idc, txc))
+        para = staged("para_deduped", lambda: paragraph_dedup_apply(
+            decon, args.para_w, idc, txc)
+            .withColumnRenamed("clean_text", txc))
+        cur = para
+        if args.exact_substr_len > 0:
+            cur = staged("exact_substr", lambda: exact_substr_apply(
+                cur, args.exact_substr_len, idc, txc)
+                .withColumnRenamed("clean_text", txc))
+        if args.sample_strata and args.sample_budget > 0:
+            strata = train.select(idc, args.sample_strata)
+            def _sample(inner=cur):
+                keep = token_budget_sample(
+                    inner.join(strata, idc), args.sample_strata,
+                    args.sample_budget, token_count(txc), idc)
+                return inner.join(keep.select(idc), idc, "semi")
+            cur = staged("sampled", _sample)
+
+        manifest = wh.write(cur, "curated", stage="curated", fingerprint=fp)
+        wh.write(
+            spark.createDataFrame(metrics,
+                                  schema=("stage string, rows long, "
+                                          "wall_sec double, "
+                                          "resumed boolean, "
+                                          "fingerprint string")),
+            f"metrics_{fp}", stage="metrics", fingerprint=fp)
+        print(json.dumps({
+            "rows": manifest.rows,
+            "n_partitions": manifest.n_partitions,
+            "skew_ratio": round(manifest.skew_ratio, 3),
+            "funnel": [{"stage": m["stage"], "rows": m["rows"],
+                        "resumed": m["resumed"]} for m in metrics],
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""jobs/curate.py lifecycle: the curation funnel runs via real
+``spark-submit --py-files``, checkpoints every stage through the
+warehouse, emits the JSON funnel summary, and a rerun resumes every
+stage from the checkpoints."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_spark_submit_curate_job(spark, tmp_path: Path) -> None:
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    wh = str(tmp_path / "wh")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # engine must come from --py-files only
+
+    def submit() -> dict:
+        res = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", str(zip_path),
+             str(REPO / "jobs" / "curate.py"),
+             "--input", inp, "--warehouse", wh,
+             "--eval-mod", "50", "--eval-rem", "7",
+             "--exact-substr-len", "30",
+             "--sample-strata", "lang", "--sample-budget", "3000",
+             "--input-id", "docs-v1"],
+            capture_output=True, text=True, env=env,
+            cwd=str(tmp_path), timeout=420)
+        assert res.returncode == 0, res.stderr[-3000:]
+        line = [ln for ln in res.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    first = submit()
+    stages = [s["stage"] for s in first["funnel"]]
+    assert stages == ["quality", "decontaminated", "para_deduped",
+                      "exact_substr", "sampled"]
+    rows = [s["rows"] for s in first["funnel"]]
+    # monotone funnel, every stage load-bearing on this corpus
+    assert all(a >= b for a, b in zip(rows, rows[1:])), rows
+    assert rows[-1] > 0
+    assert first["rows"] == rows[-1]
+    assert not any(s["resumed"] for s in first["funnel"])
+
+    second = submit()
+    assert [s["rows"] for s in second["funnel"]] == rows
+    assert all(s["resumed"] for s in second["funnel"])
+    assert second["rows"] == first["rows"]
+
+
+def test_eval_split_flags_are_exclusive(tmp_path: Path) -> None:
+    sys.path.insert(0, str(REPO / "jobs"))
+    import curate
+    assert curate.main(["--input", "x", "--warehouse", "y"]) == 2
+    assert curate.main(["--input", "x", "--warehouse", "y",
+                        "--eval-input", "e", "--eval-mod", "10"]) == 2
