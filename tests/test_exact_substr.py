@@ -125,9 +125,11 @@ class TestRandomizedCorpus:
 
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_matches_bruteforce(self, spark, seed):
+        # multibyte chars in the alphabet pin code-point (not byte or
+        # UTF-16-unit) position semantics against the Python reference
         import random
         rng = random.Random(seed)
-        docs = [(i, "".join(rng.choice("ab ") for _ in range(rng.randint(
+        docs = [(i, "".join(rng.choice("ab é中") for _ in range(rng.randint(
             0, 60)))) for i in range(12)]
         Lr = 8
         got_spans = {}
