@@ -955,6 +955,46 @@ EXSUB_L = 30  # ExactSubstr anchor length, chars (Lee et al. used 50 tokens;
               # cleanly at this corpus's ~300-char docs)
 
 
+def q_mp3_stream_meta(spark, sf_dir):
+    """REAL mp3 FRAME-HEADER parsing driver-gated end-to-end (audio
+    decode itself stays the honest stub — see operators/mp3meta.py):
+    a bit-valid MPEG-1 Layer III stream is synthesized per doc with the
+    scripted writer — k = 3 + doc_id%5 frames at 44.1 kHz, bitrate
+    index a = 1 + doc_id%14, every-3rd doc alternating a second index
+    b = 1 + (5·doc_id + 3)%14 (VBR), padding bits cycling, every-4th
+    doc prefixed with an ID3v2 tag and every (4n+2)-th with junk bytes
+    to exercise skip/resync — and walked by ``mp3_stream_meta``. Every
+    output (frame count, duration, mean bitrate, VBR flag) is
+    closed-form from doc_id, so DuckDB reproduces it digit-for-digit;
+    a frame-length, table-lookup, ID3-skip, or resync bug mismatches."""
+    import pandas as pd
+
+    from duplicate_finder_spark.operators.mp3meta import (
+        encode_mp3_stream, mp3_stream_meta)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def stream(i: int) -> bytes:
+        k = 3 + i % 5
+        a, b = 1 + i % 14, 1 + (5 * i + 3) % 14
+        vbr = i % 3 == 0
+        frames = [(b if (vbr and j % 2 == 1) else a, (i + j) % 2)
+                  for j in range(k)]
+        return encode_mp3_stream(
+            frames, id3_size=17 if i % 4 == 1 else 0,
+            junk_prefix=5 if i % 4 == 2 else 0)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [stream(int(i)) for i in ids]})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return mp3_stream_meta(pages)
+
+
 SAMPLE_K = 20           # stratified quota per language
 SAMPLE_BUDGET = 3000    # token budget per language
 
@@ -1075,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_apply": q_neardup_dedup_apply,
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
+        "mp3_stream_meta": q_mp3_stream_meta,
     }
 
 
@@ -1524,6 +1565,36 @@ def oracle_sql() -> dict[str, str]:
                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
           FROM t
           QUALIFY cum_tokens <= {SAMPLE_BUDGET}
+        """,
+        # closed-form mirror of q_mp3_stream_meta's scripted streams:
+        # every field derives from doc_id alone (MPEG-1 L3 bitrate
+        # table inlined; 1152 samples/frame at 44100 Hz); integer sums
+        # divide exactly as in the parser, so doubles match bit-for-bit
+        "mp3_stream_meta": """
+          WITH br AS (
+            SELECT [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                   AS t
+          ), p AS (
+            SELECT doc_id,
+                   3 + doc_id % 5 AS k,
+                   t[(doc_id % 14 + 1)::INT] AS a,
+                   t[((5 * doc_id + 3) % 14 + 1)::INT] AS b,
+                   doc_id % 3 = 0 AS vbr_doc
+            FROM documents, br
+          ), q AS (
+            SELECT doc_id, k, a, b,
+                   CASE WHEN vbr_doc THEN k // 2 ELSE 0 END AS n_b,
+                   vbr_doc
+            FROM p
+          )
+          SELECT doc_id,
+                 k::BIGINT AS n_frames,
+                 44100::BIGINT AS sample_rate,
+                 round(k * 1152 * 1000.0 / 44100, 3) AS duration_ms,
+                 round(((k - n_b) * a + n_b * b) * 1.0 / k, 6)
+                   AS bitrate_kbps,
+                 (vbr_doc AND b <> a) AS vbr
+          FROM q
         """,
         "ann_cosine_topk": f"""
           WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
