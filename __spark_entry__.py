@@ -995,6 +995,45 @@ def q_mp3_stream_meta(spark, sf_dir):
     return mp3_stream_meta(pages)
 
 
+def q_mp4_container_meta(spark, sf_dir):
+    """REAL MP4 (ISO-BMFF) box-tree parsing driver-gated end-to-end
+    (codec payloads stay the honest stub): a bit-valid container is
+    synthesized per doc — brand cycling 4 values, timescale
+    1000·(1 + doc_id%4), duration 1000 + (7·doc_id)%100000, mvhd
+    version = doc_id%2 (32- vs 64-bit duration paths), 1 + doc_id%2
+    video tracks, an audio track on every 3rd doc, a 'text' track
+    (counted as other) on every 5th — and walked by ``mp4_meta``.
+    Every output is closed-form from doc_id; a box-length, fourcc,
+    version-branch, or handler-type bug mismatches."""
+    import pandas as pd
+
+    from duplicate_finder_spark.operators.mp4meta import (encode_mp4,
+                                                          mp4_meta)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    brands = ("isom", "mp42", "avc1", "dash")
+
+    def container(i: int) -> bytes:
+        tracks = ("vide",) * (1 + i % 2)
+        if i % 3 == 0:
+            tracks += ("soun",)
+        if i % 5 == 0:
+            tracks += ("text",)
+        return encode_mp4(brands[i % 4], 1000 * (1 + i % 4),
+                          1000 + (7 * i) % 100000, tracks,
+                          mvhd_version=i % 2)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [container(int(i)) for i in ids]})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return mp4_meta(pages)
+
+
 SAMPLE_K = 20           # stratified quota per language
 SAMPLE_BUDGET = 3000    # token budget per language
 
@@ -1116,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "mp3_stream_meta": q_mp3_stream_meta,
+        "mp4_container_meta": q_mp4_container_meta,
     }
 
 
@@ -1595,6 +1635,21 @@ def oracle_sql() -> dict[str, str]:
                    AS bitrate_kbps,
                  (vbr_doc AND b <> a) AS vbr
           FROM q
+        """,
+        # closed-form mirror of q_mp4_container_meta's scripted files
+        "mp4_container_meta": """
+          SELECT doc_id,
+                 ['isom','mp42','avc1','dash'][(doc_id % 4 + 1)::INT]
+                   AS brand,
+                 (1000 * (1 + doc_id % 4))::BIGINT AS timescale,
+                 round((1000 + (7 * doc_id) % 100000) * 1000.0
+                       / (1000 * (1 + doc_id % 4)), 3) AS duration_ms,
+                 (1 + doc_id % 2)::BIGINT AS n_video,
+                 (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_audio,
+                 (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_other
+          FROM documents
         """,
         "ann_cosine_topk": f"""
           WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
