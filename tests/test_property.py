@@ -394,3 +394,47 @@ def test_real_png_gif_interop_decode():
     # on the vast majority of pixels
     diff = np.abs(g.astype(int) - p.astype(int)).mean()
     assert diff < 12.0
+
+
+# --- mp3 / mp4 scripted-writer round-trips (pure kernels, no Spark) ---------
+
+_mp3_frames = st.lists(st.tuples(st.integers(1, 14), st.integers(0, 1)),
+                       min_size=1, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_mp3_frames, st.integers(0, 2), st.integers(0, 30),
+       st.integers(0, 9))
+def test_mp3_writer_parser_roundtrip(frames, sri, id3, junk):
+    from duplicate_finder_spark.operators.mp3meta import (
+        BITRATES_KBPS, SAMPLE_RATES, encode_mp3_stream, mp3_frames)
+    m = mp3_frames(encode_mp3_stream(frames, sri=sri, id3_size=id3,
+                                     junk_prefix=junk))
+    rate = SAMPLE_RATES[sri]
+    kbps = [BITRATES_KBPS[bri] for bri, _ in frames]
+    assert m["n_frames"] == len(frames)
+    assert m["sample_rate"] == rate
+    assert m["duration_ms"] == round(len(frames) * 1152 * 1000.0 / rate, 3)
+    assert m["bitrate_kbps"] == round(sum(kbps) / len(kbps), 6)
+    assert m["vbr"] == (len(set(kbps)) > 1)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(["isom", "mp42", "avc1", "dash"]),
+       st.integers(1, 10 ** 6), st.integers(0, 2 ** 40),
+       st.lists(st.sampled_from(["vide", "soun", "text", "hint"]),
+                max_size=6),
+       st.integers(0, 1))
+def test_mp4_writer_parser_roundtrip(brand, timescale, duration, tracks,
+                                     ver):
+    from duplicate_finder_spark.operators.mp4meta import (encode_mp4,
+                                                          mp4_meta_dict)
+    if ver == 0 and duration >= 2 ** 32:
+        duration %= 2 ** 32  # v0 boxes carry 32-bit durations
+    m = mp4_meta_dict(encode_mp4(brand, timescale, duration,
+                                 tuple(tracks), mvhd_version=ver))
+    assert m["brand"] == brand and m["timescale"] == timescale
+    assert m["duration_ms"] == round(duration * 1000.0 / timescale, 3)
+    assert m["n_video"] == tracks.count("vide")
+    assert m["n_audio"] == tracks.count("soun")
+    assert m["n_other"] == len(tracks) - m["n_video"] - m["n_audio"]
