@@ -46,6 +46,8 @@ from duplicate_finder_spark.operators.lcs import lcs_verify
 from duplicate_finder_spark.operators.substring import containment_pairs
 from duplicate_finder_spark.operators.jaccard import (df_cut_stats,
                                                       ngram_jaccard_pairs)
+from duplicate_finder_spark.operators.crosssnap import (
+    cross_snapshot_apply, cross_snapshot_decisions)
 from duplicate_finder_spark.operators.lsh import candidate_pairs, verify_pairs
 from duplicate_finder_spark.operators.minhash import signatures
 from duplicate_finder_spark.operators.multimodal import (binary_meta,
@@ -1070,6 +1072,62 @@ def q_neardup_dedup_apply(spark, sf_dir):
                     .alias("n_chars")))
 
 
+def _snapshot_split(spark, sf_dir):
+    """Cross-snapshot fixture: store = even doc_ids (the kept corpus);
+    new = a crawl batch with (a) exact re-crawls of store docs
+    (doc_id%4==2 → +SHIFT: must drop as dup_of_corpus), (b) TWO copies
+    of docs the store has never seen (doc_id%4==1 → +SHIFT and
+    +2·SHIFT: a new-only cluster, keep-first inside the batch) and
+    (c) singleton unseen docs (doc_id%4==3 → +SHIFT: keep). urls are
+    zero-padded digits so min-url keep-first == numeric order; natural
+    near-dups in the corpus cross the split arbitrarily and the oracle
+    recomputes the same ground truth."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def u(c):
+        return F.format_string("%012d", c)
+
+    store = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select(u(F.col("doc_id")).alias("url"), "text"))
+    n1 = docs.filter(F.col("doc_id") % 4 == 1)
+    new = (n1.select(u(F.col("doc_id") + SHIFT).alias("url"), "text")
+           .unionByName(n1.select(
+               u(F.col("doc_id") + 2 * SHIFT).alias("url"), "text"))
+           .unionByName(docs.filter(F.col("doc_id") % 4 == 2).select(
+               u(F.col("doc_id") + SHIFT).alias("url"), "text"))
+           .unionByName(docs.filter(F.col("doc_id") % 4 == 3).select(
+               u(F.col("doc_id") + SHIFT).alias("url"), "text")))
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=JACCARD_T)
+    # both signature sets feed banding + verify + the url marker joins;
+    # at scale the store side is the warehouse signature table (read,
+    # not recomputed) and the new side is the resumable signature stage
+    return signatures(new, cfg).persist(), \
+        signatures(store, cfg).persist(), cfg
+
+
+def q_cross_snapshot_decisions(spark, sf_dir):
+    """Incremental batch dedup — the monthly-snapshot workflow: new
+    crawl vs kept corpus, incumbents win, new-only clusters keep-first,
+    store×store never recomputed, census pruned to touched buckets
+    (operators/crosssnap.py)."""
+    new_sigs, store_sigs, cfg = _snapshot_split(spark, sf_dir)
+    d = cross_snapshot_decisions(new_sigs, store_sigs, cfg)
+    return d.select(F.col("url").cast("long").alias("doc_id"),
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                    "action", "reason")
+
+
+def q_cross_snapshot_apply(spark, sf_dir):
+    """The snapshot update itself: store ∪ kept-new signatures — what
+    gets written back as the next run's corpus table."""
+    new_sigs, store_sigs, cfg = _snapshot_split(spark, sf_dir)
+    updated = cross_snapshot_apply(new_sigs, store_sigs, cfg)
+    return updated.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"))
+
+
 def q_exact_substr_spans(spark, sf_dir):
     """Lee-et-al ExactSubstr audit view: every maximal character span of
     length ≥ 30 occurring verbatim ≥ 2 times anywhere in the corpus
@@ -1152,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
         "neardup_dedup_apply": q_neardup_dedup_apply,
+        "cross_snapshot_decisions": q_cross_snapshot_decisions,
+        "cross_snapshot_apply": q_cross_snapshot_apply,
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "mp3_stream_meta": q_mp3_stream_meta,
@@ -1233,6 +1293,70 @@ _SHINGLES = r"""
 _JACCARD_PAIRS_SQL = _SHINGLES + f"""
   SELECT id_a AS doc_id_a, id_b AS doc_id_b, round(j, 6) AS jaccard
   FROM jac WHERE j >= {JACCARD_T}
+"""
+
+# cross-snapshot fixture corpus (mirrors _snapshot_split): store =
+# even doc_ids; new = +SHIFT / +2·SHIFT copies per the split comments
+_SNAP_CORPUS = f"""
+  WITH RECURSIVE corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id + {SHIFT} AS doc_id, text FROM documents
+    WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id + {2 * SHIFT} AS doc_id, text FROM documents
+    WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id + {SHIFT} AS doc_id, text FROM documents
+    WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT doc_id + {SHIFT} AS doc_id, text FROM documents
+    WHERE doc_id % 4 = 3
+  )""" + _SHINGLES.replace("WITH toksrc", ", toksrc", 1).replace(
+    "FROM documents", "FROM corpus", 1)
+
+# incremental edge set (≥ 1 new member; store×store excluded), then
+# the same recursive components as cc_clusters, then the incremental
+# decision rule: incumbents win, new-only clusters keep-first
+_SNAP_DECIDED = _SNAP_CORPUS + f"""
+  , pairs AS (
+      SELECT id_a, id_b FROM jac
+      WHERE j >= {JACCARD_T}
+        AND (id_a >= {SHIFT} OR id_b >= {SHIFT})),
+  edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  nodes AS (SELECT DISTINCT src AS node FROM edges),
+  reach AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT e.dst AS node, reach.r
+    FROM reach JOIN edges e ON e.src = reach.node
+  ),
+  comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+  cinfo AS (
+    SELECT cluster_id,
+           max(CASE WHEN node < {SHIFT} THEN 1 ELSE 0 END) AS has_store,
+           min(CASE WHEN node >= {SHIFT} THEN node END) AS first_new
+    FROM comp GROUP BY cluster_id),
+  matched AS (SELECT node AS doc_id FROM comp),
+  decided AS (
+    SELECT c.node AS doc_id, c.cluster_id,
+           CASE WHEN ci.has_store = 1 THEN 'delete'
+                WHEN c.node = ci.first_new THEN 'keep'
+                ELSE 'delete' END AS action,
+           CASE WHEN ci.has_store = 1 THEN 'dup_of_corpus'
+                WHEN c.node = ci.first_new THEN 'cluster_rep'
+                ELSE 'dup_in_batch' END AS reason
+    FROM comp c JOIN cinfo ci USING (cluster_id)
+    WHERE c.node >= {SHIFT}),
+  singles AS (
+    -- zero-token docs carry no signature (exact dedup owns blanks:
+    -- operators/minhash.py::signatures), so they get no decision row
+    SELECT c.doc_id, c.doc_id AS cluster_id,
+           'keep' AS action, 'unique' AS reason
+    FROM (SELECT DISTINCT doc_id FROM corpus
+          WHERE doc_id >= {SHIFT} AND trim(text) <> '') c
+    ANTI JOIN matched USING (doc_id))
 """
 
 _TOKCOUNT = (r"CASE WHEN trim(text) = '' THEN 0 "
@@ -1579,6 +1703,26 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
           FROM documents d ANTI JOIN dropped USING (doc_id)
+        """,
+        "cross_snapshot_decisions": _SNAP_DECIDED + """
+          SELECT doc_id::BIGINT AS doc_id,
+                 cluster_id::BIGINT AS cluster_id, action, reason
+          FROM (SELECT * FROM decided UNION ALL SELECT * FROM singles)
+        """,
+        # survivors = all store ids + new ids decided keep; n_shingles
+        # is the per-doc distinct-shingle count (the sizes CTE), 0 for
+        # docs whose text yields no shingles
+        "cross_snapshot_apply": _SNAP_DECIDED + f"""
+          , survivors AS (
+            SELECT doc_id FROM corpus
+            WHERE doc_id < {SHIFT} AND trim(text) <> ''
+            UNION ALL
+            SELECT doc_id
+            FROM (SELECT * FROM decided UNION ALL SELECT * FROM singles)
+            WHERE action = 'keep')
+          SELECT s.doc_id::BIGINT AS doc_id,
+                 coalesce(z.n, 0)::BIGINT AS n_shingles
+          FROM survivors s LEFT JOIN sizes z USING (doc_id)
         """,
         # md5(id-as-string) is the engine-portable order key — DuckDB
         # and Spark produce the same hex digest byte-for-byte

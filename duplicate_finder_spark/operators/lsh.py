@@ -81,6 +81,80 @@ def candidate_pairs(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return pairs_small.unionByName(pairs_hot).distinct()
 
 
+def incremental_candidate_pairs(bands_new: DataFrame, bands_all: DataFrame,
+                                hot_bucket_limit: int,
+                                prune: bool = True) -> DataFrame:
+    """(new ⋈ all) band-collision pairs, distinct (url_a, url_b) with
+    url_a < url_b — the INCREMENTAL variant of ``candidate_pairs``:
+    every emitted pair has ≥ 1 member from ``bands_new``, and old×old
+    pairs are NEVER generated (they were emitted when their newer
+    member first arrived, or belong to an already-deduped corpus).
+
+    This is the shared kernel of both incremental regimes: the
+    streaming near-dup store (streaming/neardup.py, per micro-batch)
+    and the batch cross-snapshot pass (operators/crosssnap.py, new
+    crawl vs kept corpus).
+
+    ``prune=True`` (default) first left-semi-joins ``bands_all`` on the
+    DISTINCT (band, band_hash) keys of the new side: buckets no new doc
+    touches can emit no pair, so the census window — the full-table
+    hash exchange + sort that dominates the batch candidates stage
+    (BENCH/BASELINE.md "Per-stage scaling") — runs over only the
+    touched buckets. With a small new batch against a 10^12-doc store
+    this turns O(store × bands) shuffled rows into O(touched buckets),
+    and AQE broadcasts the key set when the batch is small enough.
+    Bucket sizes are unchanged by the pruning (a touched bucket keeps
+    ALL its members, old and new), so the hot-bucket cutover is
+    identical with and without it (asserted in tests/test_crosssnap.py).
+
+    Hot buckets (> ``hot_bucket_limit``: boilerplate accumulating in
+    the store — the web-scale killer) emit O(s) STAR edges exactly like
+    the batch path, with one incremental-only wrinkle (r3 ADVICE): a
+    new arrival whose url IS the bucket minimum gets an edge to the
+    SECOND-smallest url, so the star cannot fragment when the
+    representative drifts across batches/snapshots — members that
+    arrived under the previous rep stay reachable through it.
+    """
+    if prune:
+        keys = bands_new.select("band", "band_hash").distinct()
+        bands_all = bands_all.join(keys, ["band", "band_hash"],
+                                   "left_semi")
+    w = Window.partitionBy("band", "band_hash")
+    all_sized = (bands_all
+                 .withColumn("bucket_size", F.count("*").over(w))
+                 .withColumn("bucket_rep", F.min("url").over(w))
+                 .withColumn("bucket_rep2", F.min(
+                     F.when(F.col("url") != F.col("bucket_rep"),
+                            F.col("url"))).over(w)))
+    new_keys = bands_new.select("band", "band_hash", "url")
+
+    small = all_sized.filter(F.col("bucket_size") <= hot_bucket_limit)
+    hot = all_sized.filter(F.col("bucket_size") > hot_bucket_limit)
+
+    pairs_small = (new_keys
+                   .join(small.select("band", "band_hash",
+                                      F.col("url").alias("other")),
+                         ["band", "band_hash"])
+                   .filter(F.col("url") != F.col("other"))
+                   .select(F.least("url", "other").alias("url_a"),
+                           F.greatest("url", "other").alias("url_b")))
+    # star edges: only for NEW members of hot buckets (old members got
+    # their rep edge when they were new); a new member that IS the rep
+    # links to the second-smallest member instead of nothing
+    target = F.when(F.col("url") != F.col("bucket_rep"),
+                    F.col("bucket_rep")).otherwise(F.col("bucket_rep2"))
+    pairs_hot = (new_keys
+                 .join(hot.select("band", "band_hash", "bucket_rep",
+                                  "bucket_rep2").distinct(),
+                       ["band", "band_hash"])
+                 .withColumn("target", target)
+                 .filter(F.col("target").isNotNull()
+                         & (F.col("url") != F.col("target")))
+                 .select(F.least("url", "target").alias("url_a"),
+                         F.greatest("url", "target").alias("url_b")))
+    return pairs_small.unionByName(pairs_hot).distinct()
+
+
 def candidate_pairs_compact(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """→ distinct (url_a, url_b), url_a < url_b — same output set as
     ``candidate_pairs`` on the non-hot path, compact wire format.

@@ -61,11 +61,12 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.config import PipelineConfig
-from duplicate_finder_spark.operators.lsh import band_hashes, verify_pairs
+from duplicate_finder_spark.operators.lsh import (
+    band_hashes, incremental_candidate_pairs, verify_pairs)
 from duplicate_finder_spark.operators.minhash import signatures
 from duplicate_finder_spark.warehouse import ParquetWarehouse
 
@@ -204,53 +205,17 @@ class StreamingNearDup:
 
     def _incremental_candidates(self, bands_new: DataFrame,
                                 bands_all: DataFrame) -> DataFrame:
-        """(new ⋈ all) band-collision pairs, url_a < url_b — old×old
-        pairs were emitted when THEIR newer member arrived, so they are
-        never recomputed. Hot buckets (sized over the FULL live bucket,
-        so boilerplate accumulating across batches still trips the cap)
-        emit O(s) star edges, mirroring the batch path — with one
-        streaming-only wrinkle (r3 ADVICE): a new arrival whose url IS
-        the bucket minimum gets an edge to the SECOND-smallest url, so
-        the star cannot fragment when the representative drifts across
-        batches (members that arrived under the previous rep stay
-        reachable through it)."""
-        w = Window.partitionBy("band", "band_hash")
-        all_sized = (bands_all
-                     .withColumn("bucket_size", F.count("*").over(w))
-                     .withColumn("bucket_rep", F.min("url").over(w))
-                     .withColumn("bucket_rep2", F.min(
-                         F.when(F.col("url") != F.col("bucket_rep"),
-                                F.col("url"))).over(w)))
-        new_keys = bands_new.select("band", "band_hash", "url")
-
-        small = all_sized.filter(
-            F.col("bucket_size") <= self.cfg.hot_bucket_limit)
-        hot = all_sized.filter(
-            F.col("bucket_size") > self.cfg.hot_bucket_limit)
-
-        pairs_small = (new_keys
-                       .join(small.select(
-                           "band", "band_hash",
-                           F.col("url").alias("other")),
-                           ["band", "band_hash"])
-                       .filter(F.col("url") != F.col("other"))
-                       .select(F.least("url", "other").alias("url_a"),
-                               F.greatest("url", "other").alias("url_b")))
-        # star edges: only for NEW members of hot buckets (old members
-        # got their rep edge on arrival); a new member that IS the rep
-        # links to the second-smallest member instead of nothing
-        target = F.when(F.col("url") != F.col("bucket_rep"),
-                        F.col("bucket_rep")).otherwise(F.col("bucket_rep2"))
-        pairs_hot = (new_keys
-                     .join(hot.select("band", "band_hash", "bucket_rep",
-                                      "bucket_rep2").distinct(),
-                           ["band", "band_hash"])
-                     .withColumn("target", target)
-                     .filter(F.col("target").isNotNull()
-                             & (F.col("url") != F.col("target")))
-                     .select(F.least("url", "target").alias("url_a"),
-                             F.greatest("url", "target").alias("url_b")))
-        return pairs_small.unionByName(pairs_hot).distinct()
+        """(new ⋈ all) band-collision pairs, url_a < url_b — the shared
+        incremental kernel (operators/lsh.py::incremental_candidate_pairs,
+        also the batch cross-snapshot engine's): old×old pairs are never
+        recomputed, the census window is pruned to buckets the new batch
+        touches (bucket sizes still count the FULL live bucket, so
+        boilerplate accumulating across batches still trips the hot
+        cap), and a new arrival that BECOMES a hot bucket's rep links to
+        the second-smallest url so the star cannot fragment when the
+        representative drifts across batches (r3 ADVICE)."""
+        return incremental_candidate_pairs(
+            bands_new, bands_all, self.cfg.hot_bucket_limit)
 
     # -- compaction ---------------------------------------------------------
 

@@ -130,3 +130,84 @@ def test_dedup_job_warmup_flag_parses() -> None:
     base = ["--input", "/x", "--warehouse", "/y"]
     assert parse_args(base).warmup is False
     assert parse_args(base + ["--warmup"]).warmup is True
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_spark_submit_incremental_job_two_snapshots(spark,
+                                                    tmp_path: Path) -> None:
+    """jobs/incremental.py end-to-end: snapshot 1 seeds the corpus
+    store, snapshot 2 dedups against it — re-crawled docs drop as
+    dup_of_corpus, batch-internal dups keep-first, the store snapshot
+    grows by exactly the kept docs."""
+    def doc(seed: str) -> str:
+        return " ".join(f"{seed}{i}" for i in range(60))
+
+    b1 = str(tmp_path / "batch1")
+    spark.createDataFrame([("s1", doc("a")), ("s2", doc("b"))],
+                          "url string, text string").write.parquet(b1)
+    b2 = str(tmp_path / "batch2")
+    spark.createDataFrame(
+        [("n1", doc("a")),                       # re-crawl of s1
+         ("n2", doc("c")), ("n3", doc("c")),     # new-only dup pair
+         ("n4", doc("d"))],                      # unique
+        "url string, text string").write.parquet(b2)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps({"num_perm": 64, "lsh_bands": 16,
+                               "jaccard_threshold": 0.8}))
+    wh = str(tmp_path / "wh")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    def submit(inp: str, batch_id: str) -> dict:
+        res = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", str(zip_path),
+             str(REPO / "jobs" / "incremental.py"),
+             "--input", inp, "--warehouse", wh,
+             "--config", str(cfg), "--batch-id", batch_id],
+            capture_output=True, text=True, env=env,
+            cwd=str(tmp_path), timeout=420)
+        assert res.returncode == 0, res.stderr[-3000:]
+        return json.loads([ln for ln in res.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    first = submit(b1, "2026-01")
+    assert first["n_new"] == 2
+    assert first["by_reason"] == {"unique": 2}
+    assert first["store_rows"] == 2 and first["n_store_batches"] == 1
+
+    second = submit(b2, "2026-02")
+    assert second["n_new"] == 4
+    assert second["by_reason"] == {"dup_of_corpus": 1, "cluster_rep": 1,
+                                   "dup_in_batch": 1, "unique": 1}
+    assert second["batch_kept"] == 2  # n2 n4
+    assert second["store_rows"] == 4  # s1 s2 + kept n2 n4
+    assert second["n_store_batches"] == 2
+
+    from jobs.incremental import read_store
+    from duplicate_finder_spark.warehouse import get_warehouse
+    whh = get_warehouse(spark, wh)
+    store = read_store(whh, spark.createDataFrame(
+        [], "url string, shingles array<long>, minhash array<long>, "
+            "n_shingles int, sketch array<long>, n_tokens int"))
+    assert {r["url"] for r in store.select("url").collect()} == \
+        {"s1", "s2", "n2", "n4"}
+    dec = whh.read("incr_decisions_2026-02")
+    acts = {r["url"]: (r["action"], r["reason"]) for r in dec.collect()}
+    assert acts["n1"] == ("delete", "dup_of_corpus")
+    assert acts["n2"] == ("keep", "cluster_rep")
+    assert acts["n3"] == ("delete", "dup_in_batch")
+    assert acts["n4"] == ("keep", "unique")
+
+    # rerun of a committed batch id: idempotent (same decisions, same
+    # store), no duplicate registry row
+    again = submit(b2, "2026-02")
+    assert again["by_reason"] == second["by_reason"]
+    assert again["store_rows"] == 4 and again["n_store_batches"] == 2
