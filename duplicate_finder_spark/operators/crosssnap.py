@@ -71,21 +71,38 @@ def cross_snapshot_decisions(new_sigs: DataFrame, store_sigs: DataFrame,
     (a store url when the incumbent anchors the cluster), or the doc's
     own url for singletons — the same min-url representative the batch
     path's components produce, so downstream lineage joins are uniform.
+
+    Plan shape: the NEW side's signature subtree (the Arrow UDF over the
+    batch) has five consumers here — the re-crawl probe, banding, the
+    verify join, the component url marker, and the singleton anti-join —
+    and would otherwise execute once per consumer (measured: it was
+    ~70% of the incremental wall at 200k batch / 1.8M store,
+    BENCH/runs/incr_20260818_232915.json + the per-stage profile in
+    BENCH/BASELINE.md). It is persisted ONCE — O(batch) rows, exactly
+    the state bound this regime promises — the narrow decision rows are
+    materialized eagerly, and the cache is released before returning
+    (the verify_pairs pattern: no persist outlives its consumer). The
+    STORE side is deliberately NOT cached: it is O(corpus) parquet whose
+    column-pruned scans are cheap (measured ≤ 10 s per pass at 1.8M
+    rows) and caching it would break the O(batch) memory contract.
     """
     store_url_set = store_sigs.select("url")
+    caller_cached = new_sigs.is_cached  # don't drop a caller's cache
+    if not caller_cached:
+        new_sigs = new_sigs.persist()
     recrawled = (new_sigs.select("url")
                  .join(store_url_set, "url", "left_semi")
                  .select("url", F.col("url").alias("cluster_id"),
                          F.lit("delete").alias("action"),
                          F.lit("dup_of_corpus").alias("reason")))
-    new_sigs = new_sigs.join(store_url_set, "url", "left_anti")
+    arrivals = new_sigs.join(store_url_set, "url", "left_anti")
 
-    edges = cross_snapshot_edges(new_sigs, store_sigs, cfg)
+    edges = cross_snapshot_edges(arrivals, store_sigs, cfg)
     assign = connected_components(
         edges.select(F.col("url_a").alias("src"),
                      F.col("url_b").alias("dst")))
 
-    new_urls = new_sigs.select("url")
+    new_urls = arrivals.select("url")
     store_urls = store_sigs.select("url").withColumn(
         "_store", F.lit(True))
 
@@ -110,7 +127,14 @@ def cross_snapshot_decisions(new_sigs: DataFrame, store_sigs: DataFrame,
                .select("url", F.col("url").alias("cluster_id"),
                        F.lit("keep").alias("action"),
                        F.lit("unique").alias("reason")))
-    return decided.unionByName(singles).unionByName(recrawled)
+    # materialize the O(batch) narrow decision rows, then release the
+    # cached batch signatures — callers get a checkpointed result that
+    # never re-executes the signature UDF
+    out = (decided.unionByName(singles).unionByName(recrawled)
+           .localCheckpoint(eager=True))
+    if not caller_cached:
+        new_sigs.unpersist()
+    return out
 
 
 def cross_snapshot_apply(new_sigs: DataFrame, store_sigs: DataFrame,

@@ -206,6 +206,12 @@ class ParquetWarehouse:
         if os.path.exists(d):
             shutil.rmtree(d)
 
+    def tables(self) -> list[str]:
+        """Names of all tables with a current snapshot (Iceberg SHOW
+        TABLES parity), sorted."""
+        return sorted(n for n in os.listdir(self.root)
+                      if self._current(n) is not None)
+
     # -- resumability ----------------------------------------------------------
 
     def checkpoint_or_compute(self, name: str, fingerprint: str,
@@ -285,6 +291,13 @@ class IcebergWarehouse:
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self._fq(name)}")
         self.spark.sql(f"DROP TABLE IF EXISTS {self._fq(name + '_manifest')}")
+
+    def tables(self) -> list[str]:
+        """Data-table names in the namespace (manifest side tables
+        excluded), sorted — SHOW TABLES on the catalog."""
+        rows = self.spark.sql(f"SHOW TABLES IN {self.prefix}").collect()
+        return sorted(r["tableName"] for r in rows
+                      if not r["tableName"].endswith("_manifest"))
 
     def checkpoint_or_compute(self, name: str, fingerprint: str,
                               compute) -> tuple[DataFrame, bool]:

@@ -37,6 +37,12 @@ The first run (empty registry) dedups the batch within itself and
 seeds the corpus — no flag needed. Batch urls must be globally unique
 across snapshots (url is the document identity; re-crawls of a stored
 url are exact-dup territory for the exact stage upstream).
+
+``--compact [--keep-last K]`` is the maintenance mode: it folds
+committed per-batch tables into one (bounding the read union's fan-in
+as batches accumulate) and drops orphaned store tables left by crashed
+runs — see duplicate_finder_spark/store.py for the commit protocol and
+the reprocessing contract. Run it between ingests, not concurrently.
 """
 
 from __future__ import annotations
@@ -46,8 +52,6 @@ import json
 import sys
 import time
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,37 +59,21 @@ from duplicate_finder_spark.config import PipelineConfig
 from duplicate_finder_spark.operators.crosssnap import (
     SIG_COLS, cross_snapshot_decisions)
 from duplicate_finder_spark.operators.minhash import signatures
+from duplicate_finder_spark.store import (STORE_PREFIX, commit_batch,
+                                          compact_store, gc_store)
+from duplicate_finder_spark.store import read_store as _read_store
 from duplicate_finder_spark.warehouse import get_warehouse
-
-STORE_PREFIX = "corpus_sigs__"
-REGISTRY = "corpus_batches"
-
-
-def store_batches(wh, exclude: str | None = None) -> list[str]:
-    """Committed batch ids from the registry, oldest first."""
-    if not wh.exists(REGISTRY):
-        return []
-    rows = wh.read(REGISTRY).select("batch_id", "committed_at").collect()
-    return [r["batch_id"] for r in
-            sorted(rows, key=lambda r: r["committed_at"])
-            if r["batch_id"] != exclude]
 
 
 def read_store(wh, template: DataFrame,
                exclude: str | None = None) -> DataFrame:
-    """The kept corpus's signatures: union of committed per-batch
-    tables. ``template`` supplies the (empty-store) schema."""
-    batches = store_batches(wh, exclude=exclude)
-    if not batches:
-        return template.limit(0)
-    return reduce(DataFrame.unionByName,
-                  (wh.read(STORE_PREFIX + b).select(*SIG_COLS)
-                   for b in batches))
+    """The kept corpus's signatures (duplicate_finder_spark.store)."""
+    return _read_store(wh, template, SIG_COLS, exclude=exclude)
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="incremental-dedup-job")
-    p.add_argument("--input", required=True,
+    p.add_argument("--input",
                    help="new batch pages: parquet path, or "
                         "catalog.ns.table with --format iceberg, or a "
                         "directory of .warc/.warc.gz segments")
@@ -100,16 +88,31 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="JSON file of PipelineConfig overrides — must "
                         "match the config the store was built with "
                         "(signatures are config-specific)")
-    p.add_argument("--batch-id", required=True,
+    p.add_argument("--batch-id",
                    help="stable id for this snapshot (names the "
                         "decision and store tables; e.g. crawl date). "
                         "Must not contain '/'")
-    return p.parse_args(argv)
+    p.add_argument("--compact", action="store_true",
+                   help="maintenance mode: fold committed per-batch "
+                        "store tables into one and drop orphans "
+                        "(duplicate_finder_spark.store.compact_store); "
+                        "no ingest — run it from a window with no "
+                        "concurrent ingest job")
+    p.add_argument("--keep-last", type=int, default=1,
+                   help="with --compact: newest batches left unfolded "
+                        "(still individually reprocessable); default 1")
+    args = p.parse_args(argv)
+    if args.compact:
+        if args.input or args.batch_id:
+            p.error("--compact takes no --input/--batch-id")
+    elif not args.input or not args.batch_id:
+        p.error("--input and --batch-id are required (or use --compact)")
+    return args
 
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
-    if "/" in args.batch_id:
+    if args.batch_id and "/" in args.batch_id:
         raise SystemExit("--batch-id must not contain '/'")
     overrides = {}
     if args.config:
@@ -124,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .getOrCreate())
     try:
+        if args.compact:
+            wh = get_warehouse(spark, args.warehouse, fmt=args.format)
+            summary = compact_store(wh, spark, SIG_COLS,
+                                    keep_last=args.keep_last)
+            summary["orphans_dropped"] = gc_store(wh)
+            print(json.dumps(summary))
+            return 0
         if args.format == "iceberg":
             pages = spark.table(args.input)
         elif args.format == "warc":
@@ -138,7 +148,9 @@ def main(argv: list[str] | None = None) -> int:
             fmt="parquet" if args.format == "warc" else args.format)
 
         t0 = time.time()
-        new_sigs = signatures(pages, cfg)
+        # persisted across its consumers (decisions + the kept-new
+        # anti-join below) — O(batch) rows; released after the last use
+        new_sigs = signatures(pages, cfg).persist()
         store_sigs = read_store(wh, new_sigs, exclude=args.batch_id)
 
         decisions = cross_snapshot_decisions(new_sigs, store_sigs, cfg)
@@ -156,21 +168,12 @@ def main(argv: list[str] | None = None) -> int:
         kept_manifest = wh.write(kept_new, STORE_PREFIX + args.batch_id,
                                  stage="store_batch",
                                  fingerprint=args.batch_id)
+        new_sigs.unpersist()
         # the COMMIT: one registry row per batch; a rerun of the same
         # batch id replaces its row (and moves it to the end — the
         # reprocessed batch is now the newest arrival)
-        prior = []
-        if wh.exists(REGISTRY):
-            prior = sorted(
-                ((r["batch_id"], r["rows"], r["committed_at"])
-                 for r in wh.read(REGISTRY).collect()
-                 if r["batch_id"] != args.batch_id),
-                key=lambda t: t[2])
-        reg = spark.createDataFrame(
-            prior + [(args.batch_id, kept_manifest.rows, time.time())],
-            "batch_id string, rows long, committed_at double")
-        wh.write(reg, REGISTRY, stage="registry",
-                 fingerprint=args.batch_id)
+        prior = commit_batch(wh, spark, args.batch_id,
+                             kept_manifest.rows)
         wall = round(time.time() - t0, 2)
 
         by_reason = {r["reason"]: r["n"] for r in

@@ -211,3 +211,38 @@ def test_spark_submit_incremental_job_two_snapshots(spark,
     again = submit(b2, "2026-02")
     assert again["by_reason"] == second["by_reason"]
     assert again["store_rows"] == 4 and again["n_store_batches"] == 2
+
+    # maintenance mode through the same lifecycle: fold everything into
+    # one store table; the read contract is unchanged
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(REPO / "jobs" / "incremental.py"),
+         "--warehouse", wh, "--compact", "--keep-last", "0"],
+        capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    compacted = json.loads([ln for ln in res.stdout.splitlines()
+                            if ln.startswith("{")][-1])
+    assert compacted["folded"] == 2
+    assert compacted["store_batches"] == 1
+    assert compacted["merged_rows"] == 4
+    store2 = read_store(whh, store)
+    assert {r["url"] for r in store2.select("url").collect()} == \
+        {"s1", "s2", "n2", "n4"}
+
+
+def test_incremental_job_compact_mode_arg_contract() -> None:
+    from jobs.incremental import parse_args
+    a = parse_args(["--warehouse", "/y", "--compact"])
+    assert a.compact is True and a.keep_last == 1
+    a = parse_args(["--warehouse", "/y", "--compact", "--keep-last", "3"])
+    assert a.keep_last == 3
+    with pytest.raises(SystemExit):  # compact takes no batch args
+        parse_args(["--warehouse", "/y", "--compact", "--batch-id", "b"])
+    with pytest.raises(SystemExit):  # ingest needs input AND batch-id
+        parse_args(["--warehouse", "/y", "--input", "/x"])
+    with pytest.raises(SystemExit):
+        parse_args(["--warehouse", "/y", "--batch-id", "b"])
