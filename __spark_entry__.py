@@ -1145,6 +1145,79 @@ def q_exact_substr_apply(spark, sf_dir):
     return exact_substr_apply(_docs(spark, sf_dir), length=EXSUB_L)
 
 
+def _host_pages(spark, sf_dir):
+    """Skewed synthetic crawl: half the corpus lands on host00 (the
+    mirror-farm head host), the rest spreads over host05-host09."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hidx = F.when(F.col("doc_id") % 10 < 5, F.lit(0)) \
+            .otherwise((F.col("doc_id") % 10).cast("int"))
+    url = F.format_string("https://host%02d.example/%08d", hidx,
+                          F.col("doc_id"))
+    return docs.select("doc_id", url.alias("url"), "text")
+
+
+def q_host_corpus_stats(spark, sf_dir):
+    """Corpus composition by url host (operators/domains.py) — the
+    accounting view a source-balancing pass reads. One combinable
+    groupBy; the rank window runs over one-row-per-host only."""
+    from duplicate_finder_spark.operators.domains import host_stats
+    return host_stats(_host_pages(spark, sf_dir)) \
+        .withColumn("n_docs_rank", F.col("n_docs_rank").cast("long"))
+
+
+def q_host_cap_apply(spark, sf_dir):
+    """Dolma-style per-host cap: keep the first 3 pages per host by
+    url order, via the two-phase skew-bounded top-K (salted pre-rank,
+    then exact rank over ≤ salt·K survivors) — no reducer ever sees a
+    whole head host. Oracle is the naive one-window plan: the two-phase
+    result must equal it exactly."""
+    from duplicate_finder_spark.operators.domains import cap_per_host
+    kept = cap_per_host(_host_pages(spark, sf_dir), 3, salt=8)
+    return kept.select("doc_id", "url")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub stage (functions/pii.py): per-class counts + redacted
+    text, pure JVM regex in one codegen'd projection. Deterministic
+    PII is injected per doc_id (email + IPv4 always, phone on every
+    3rd doc) so both engines score the same plants on top of whatever
+    the raw text happens to contain."""
+    from duplicate_finder_spark.functions.pii import scrub_pii
+    docs = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0.7"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" tel 555-012-3456")).otherwise(F.lit("")))
+    out = scrub_pii(docs.select("doc_id", synth.alias("text")))
+    return out.select("doc_id", "n_emails", "n_ipv4s", "n_phones",
+                      "n_pii", "redacted_text")
+
+
+def q_bloom_recrawl_probe(spark, sf_dir):
+    """Broadcast Bloom-filter re-crawl prefilter
+    (operators/bloomfilter.py): the batch probes the store's bitmap;
+    negatives skip the store join entirely, the maybe slice resolves
+    exactly. The oracle recomputes plain membership in SQL, so a single
+    false NEGATIVE (structurally impossible) or a mis-resolved false
+    positive flips the gate."""
+    from duplicate_finder_spark.operators.bloomfilter import (
+        BloomFilter, split_by_membership)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    url = F.format_string("https://crawl.example/%d", F.col("doc_id"))
+    store = docs.filter(F.col("doc_id") % 3 != 0).select(url.alias("url"))
+    batch = docs.filter(F.col("doc_id") % 2 == 0) \
+                .select("doc_id", url.alias("url"))
+    bf = BloomFilter.build(store, "url",
+                           n_expected=max(1, store.count()), fpp=0.01)
+    in_store, fresh = split_by_membership(batch, store, bf, "url")
+    return (in_store.select("doc_id", F.lit(True).alias("is_recrawl"))
+            .unionByName(
+                fresh.select("doc_id", F.lit(False).alias("is_recrawl"))))
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1216,10 +1289,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "mp3_stream_meta": q_mp3_stream_meta,
         "mp4_container_meta": q_mp4_container_meta,
+        "host_corpus_stats": q_host_corpus_stats,
+        "host_cap_apply": q_host_cap_apply,
+        "pii_scrub": q_pii_scrub,
+        "bloom_recrawl_probe": q_bloom_recrawl_probe,
     }
 
 
 # --- oracles ----------------------------------------------------------------
+
+from duplicate_finder_spark.functions.pii import (EMAIL_RE as _PII_EMAIL,
+                                                  IPV4_RE as _PII_IPV4,
+                                                  PHONE_RE as _PII_PHONE)
+
+# host index of the synthetic skewed crawl (_host_pages)
+_HOST_IDX = "(CASE WHEN doc_id % 10 < 5 THEN 0 ELSE doc_id % 10 END)"
 
 _UNION = f"""
   SELECT doc_id, text FROM documents
@@ -2326,5 +2410,66 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text
           FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "host_corpus_stats": f"""
+          WITH p AS (
+            SELECT printf('host%02d.example', {_HOST_IDX}::INT) AS host,
+                   length(text) AS len
+            FROM documents
+          ), a AS (
+            SELECT host, count(*)::BIGINT AS n_docs,
+                   sum(len)::BIGINT AS n_chars
+            FROM p GROUP BY host)
+          SELECT host, n_docs, n_chars,
+                 row_number() OVER (ORDER BY n_docs DESC, host)::BIGINT
+                   AS n_docs_rank
+          FROM a
+        """,
+        "host_cap_apply": f"""
+          WITH p AS (
+            SELECT doc_id,
+                   printf('host%02d.example', {_HOST_IDX}::INT) AS host,
+                   printf('https://host%02d.example/%08d',
+                          {_HOST_IDX}::INT, doc_id) AS url
+            FROM documents)
+          SELECT doc_id, url FROM (
+            SELECT doc_id, url, row_number() OVER (
+                     PARTITION BY host ORDER BY url) AS r
+            FROM p)
+          WHERE r <= 3
+        """,
+        # single source of truth: the regex constants below are the
+        # module's own (functions/pii.py), concatenated in — DuckDB's
+        # RE2 and Spark's Java regex agree on this dialect subset
+        "pii_scrub": ("""
+          WITH p AS (
+            SELECT doc_id,
+                   substr(text, 1, 40) || ' reach user'
+                     || doc_id::VARCHAR || '@mail.example or 10.'
+                     || (doc_id % 200)::VARCHAR || '.0.7'
+                     || (CASE WHEN doc_id % 3 = 0
+                         THEN ' tel 555-012-3456' ELSE '' END) AS t
+            FROM documents
+          ), c AS (
+            SELECT doc_id, t,
+                   len(regexp_extract_all(t, '""" + _PII_EMAIL + """'))::BIGINT
+                     AS n_emails,
+                   len(regexp_extract_all(t, '""" + _PII_IPV4 + """'))::BIGINT
+                     AS n_ipv4s,
+                   len(regexp_extract_all(t, '""" + _PII_PHONE + """'))::BIGINT
+                     AS n_phones
+            FROM p)
+          SELECT doc_id, n_emails, n_ipv4s, n_phones,
+                 (n_emails + n_ipv4s + n_phones)::BIGINT AS n_pii,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                   '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+                   '""" + _PII_IPV4 + """', '<IP>', 'g'),
+                   '""" + _PII_PHONE + """', '<PHONE>', 'g')
+                   AS redacted_text
+          FROM c
+        """),
+        "bloom_recrawl_probe": """
+          SELECT doc_id, (doc_id % 3 <> 0) AS is_recrawl
+          FROM documents WHERE doc_id % 2 = 0
         """,
     }

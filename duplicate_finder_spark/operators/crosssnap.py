@@ -64,7 +64,8 @@ def cross_snapshot_edges(new_sigs: DataFrame, store_sigs: DataFrame,
 
 
 def cross_snapshot_decisions(new_sigs: DataFrame, store_sigs: DataFrame,
-                             cfg: PipelineConfig) -> DataFrame:
+                             cfg: PipelineConfig,
+                             store_bloom=None) -> DataFrame:
     """→ (url, cluster_id, action, reason) for every NEW url.
 
     cluster_id is the component's minimum url across BOTH snapshots
@@ -90,12 +91,27 @@ def cross_snapshot_decisions(new_sigs: DataFrame, store_sigs: DataFrame,
     caller_cached = new_sigs.is_cached  # don't drop a caller's cache
     if not caller_cached:
         new_sigs = new_sigs.persist()
-    recrawled = (new_sigs.select("url")
-                 .join(store_url_set, "url", "left_semi")
-                 .select("url", F.col("url").alias("cluster_id"),
-                         F.lit("delete").alias("action"),
-                         F.lit("dup_of_corpus").alias("reason")))
-    arrivals = new_sigs.join(store_url_set, "url", "left_anti")
+    if store_bloom is not None:
+        # broadcast-bitmap prefilter (operators/bloomfilter.py): bloom
+        # negatives are DEFINITELY new and skip the store join; only
+        # the maybe slice (overlap + ~fpp of the batch) probes the
+        # store's urls — the store is never shuffled for the re-crawl
+        # probe. Result is exactly the semi/anti split below.
+        from duplicate_finder_spark.operators.bloomfilter import (
+            split_by_membership)
+        re_rows, arrivals = split_by_membership(
+            new_sigs, store_url_set, store_bloom, "url")
+        recrawled = re_rows.select(
+            "url", F.col("url").alias("cluster_id"),
+            F.lit("delete").alias("action"),
+            F.lit("dup_of_corpus").alias("reason"))
+    else:
+        recrawled = (new_sigs.select("url")
+                     .join(store_url_set, "url", "left_semi")
+                     .select("url", F.col("url").alias("cluster_id"),
+                             F.lit("delete").alias("action"),
+                             F.lit("dup_of_corpus").alias("reason")))
+        arrivals = new_sigs.join(store_url_set, "url", "left_anti")
 
     edges = cross_snapshot_edges(arrivals, store_sigs, cfg)
     assign = connected_components(
