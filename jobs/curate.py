@@ -66,6 +66,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(stage skipped when unset)")
     p.add_argument("--sample-budget", type=int, default=0,
                    help="token budget per stratum (with --sample-strata)")
+    p.add_argument("--url-col", default=None,
+                   help="url column of the input (enables --max-per-host)")
+    p.add_argument("--max-per-host", type=int, default=0,
+                   help="> 0 with --url-col: Dolma-style source "
+                        "balancing — keep only the first K pages per "
+                        "url host (skew-bounded two-phase top-K, "
+                        "operators/domains.py) before the quality gate")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="final stage: replace emails/IPv4s/phone "
+                        "numbers in the surviving text with class "
+                        "tokens (functions/pii.py)")
     p.add_argument("--input-id", default=None,
                    help="stable id for the input snapshot (stage-cache "
                         "key); defaults to the input path")
@@ -78,7 +89,8 @@ def _fingerprint(args: argparse.Namespace) -> str:
         k: getattr(args, k) for k in (
             "eval_input", "eval_mod", "eval_rem", "min_tokens",
             "max_dup_frac", "gopher_w", "contam_n", "para_w",
-            "exact_substr_len", "sample_strata", "sample_budget")},
+            "exact_substr_len", "sample_strata", "sample_budget",
+            "url_col", "max_per_host", "redact_pii")},
         sort_keys=True)
     base = args.input_id or args.input
     return hashlib.sha256(f"{base}|{key}".encode()).hexdigest()[:16]
@@ -111,8 +123,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             pred = (F.col(idc) % args.eval_mod) == args.eval_rem
             train, ev = docs.filter(~pred), docs.filter(pred)
-        train = train.select(idc, txc) if args.sample_strata is None \
-            else train.select(idc, txc, args.sample_strata)
+        keep_cols = [idc, txc]
+        if args.sample_strata is not None:
+            keep_cols.append(args.sample_strata)
+        cap_on = args.url_col and args.max_per_host > 0
+        if cap_on:
+            keep_cols.append(args.url_col)
+        train = train.select(*keep_cols)
 
         wh = get_warehouse(spark, args.warehouse, fmt=args.format)
         fp = _fingerprint(args)
@@ -128,8 +145,16 @@ def main(argv: list[str] | None = None) -> int:
                 "resumed": resumed, "fingerprint": fp})
             return df
 
+        base = train
+        if cap_on:
+            from duplicate_finder_spark.operators.domains import (
+                cap_per_host)
+            base = staged("host_capped", lambda: cap_per_host(
+                train.select(idc, txc, args.url_col),
+                args.max_per_host, url_col=args.url_col)
+                .select(idc, txc))
         quality = staged("quality", lambda: quality_gate(
-            train.select(idc, txc), args.min_tokens, args.max_dup_frac,
+            base.select(idc, txc), args.min_tokens, args.max_dup_frac,
             args.gopher_w, idc, txc))
         decon = staged("decontaminated", lambda: decontaminate(
             quality, ev.select(idc, txc), args.contam_n, idc, txc))
@@ -149,6 +174,13 @@ def main(argv: list[str] | None = None) -> int:
                     args.sample_budget, token_count(txc), idc)
                 return inner.join(keep.select(idc), idc, "semi")
             cur = staged("sampled", _sample)
+        if args.redact_pii:
+            from duplicate_finder_spark.functions.pii import scrub_pii
+            def _pii(inner=cur):
+                return (scrub_pii(inner.select(idc, txc), txc)
+                        .select(idc,
+                                F.col("redacted_text").alias(txc)))
+            cur = staged("pii_redacted", _pii)
 
         manifest = wh.write(cur, "curated", stage="curated", fingerprint=fp)
         wh.write(

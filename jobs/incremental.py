@@ -92,6 +92,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="stable id for this snapshot (names the "
                         "decision and store tables; e.g. crawl date). "
                         "Must not contain '/'")
+    p.add_argument("--bloom-fpp", type=float, default=None,
+                   help="enable the broadcast Bloom-filter re-crawl "
+                        "prefilter at this false-positive rate (e.g. "
+                        "0.01): the batch probes a bitmap of the "
+                        "store's urls instead of anti-joining the "
+                        "whole store; results are identical "
+                        "(operators/bloomfilter.py)")
     p.add_argument("--compact", action="store_true",
                    help="maintenance mode: fold committed per-batch "
                         "store tables into one and drop orphans "
@@ -153,7 +160,22 @@ def main(argv: list[str] | None = None) -> int:
         new_sigs = signatures(pages, cfg).persist()
         store_sigs = read_store(wh, new_sigs, exclude=args.batch_id)
 
-        decisions = cross_snapshot_decisions(new_sigs, store_sigs, cfg)
+        store_bloom = None
+        if args.bloom_fpp is not None:
+            # registry rows give the store size without scanning it;
+            # the build itself shuffles ≤ m/64 word rows
+            from duplicate_finder_spark.operators.bloomfilter import (
+                BloomFilter)
+            from duplicate_finder_spark.store import registry_rows
+            n_store = sum(n for _, n, _ in
+                          registry_rows(wh, exclude=args.batch_id))
+            if n_store:
+                store_bloom = BloomFilter.build(
+                    store_sigs.select("url"), "url",
+                    n_expected=n_store, fpp=args.bloom_fpp)
+
+        decisions = cross_snapshot_decisions(new_sigs, store_sigs, cfg,
+                                             store_bloom=store_bloom)
         dec_manifest = wh.write(decisions,
                                 f"incr_decisions_{args.batch_id}",
                                 stage="incr_decisions",

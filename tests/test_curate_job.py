@@ -68,6 +68,68 @@ def test_spark_submit_curate_job(spark, tmp_path: Path) -> None:
     assert second["rows"] == first["rows"]
 
 
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_curate_job_host_cap_and_pii(spark, tmp_path: Path) -> None:
+    """--max-per-host runs the skew-bounded cap as the first stage and
+    --redact-pii replaces identifiers in the surviving text as the
+    last; both show up in the funnel metrics and the curated output."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("url", F.format_string(
+                "https://h%02d.example/%06d",
+                (F.col("doc_id") % 20).cast("int"), F.col("doc_id")))
+            .withColumn("text", F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat("text", F.lit(" ping admin@mail.example now")))
+                .otherwise(F.col("text"))))
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    wh = str(tmp_path / "wh")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(REPO / "jobs" / "curate.py"),
+         "--input", inp, "--warehouse", wh,
+         "--eval-mod", "50", "--eval-rem", "7",
+         "--url-col", "url", "--max-per-host", "10",
+         "--redact-pii", "--input-id", "docs-v2"],
+        capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    out = json.loads([ln for ln in res.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    stages = [s["stage"] for s in out["funnel"]]
+    assert stages == ["host_capped", "quality", "decontaminated",
+                      "para_deduped", "pii_redacted"]
+
+    # the cap stage kept exactly the naive window plan's winners
+    train = docs.filter((F.col("doc_id") % 50) != 7)
+    w = Window.partitionBy(F.regexp_extract(
+        F.lower("url"), r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)) \
+        .orderBy("url")
+    expected_capped = (train.withColumn("_r", F.row_number().over(w))
+                       .filter(F.col("_r") <= 10).count())
+    assert out["funnel"][0]["rows"] == expected_capped
+
+    # surviving text carries the token, never the raw identifier
+    from duplicate_finder_spark.warehouse import get_warehouse
+    curated = get_warehouse(spark, wh).read("curated")
+    assert curated.filter(
+        F.col("text").contains("admin@mail.example")).count() == 0
+    assert curated.filter(F.col("text").contains("<EMAIL>")).count() > 0
+
+
 def test_eval_split_flags_are_exclusive(tmp_path: Path) -> None:
     sys.path.insert(0, str(REPO / "jobs"))
     import curate

@@ -163,7 +163,7 @@ def test_spark_submit_incremental_job_two_snapshots(spark,
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
 
-    def submit(inp: str, batch_id: str) -> dict:
+    def submit(inp: str, batch_id: str, *extra: str) -> dict:
         res = subprocess.run(
             [SPARK_SUBMIT, "--master", "local[4]",
              "--conf", "spark.sql.shuffle.partitions=4",
@@ -171,7 +171,7 @@ def test_spark_submit_incremental_job_two_snapshots(spark,
              "--py-files", str(zip_path),
              str(REPO / "jobs" / "incremental.py"),
              "--input", inp, "--warehouse", wh,
-             "--config", str(cfg), "--batch-id", batch_id],
+             "--config", str(cfg), "--batch-id", batch_id, *extra],
             capture_output=True, text=True, env=env,
             cwd=str(tmp_path), timeout=420)
         assert res.returncode == 0, res.stderr[-3000:]
@@ -207,8 +207,9 @@ def test_spark_submit_incremental_job_two_snapshots(spark,
     assert acts["n4"] == ("keep", "unique")
 
     # rerun of a committed batch id: idempotent (same decisions, same
-    # store), no duplicate registry row
-    again = submit(b2, "2026-02")
+    # store), no duplicate registry row — AND with the Bloom re-crawl
+    # prefilter on, which must not change a single outcome
+    again = submit(b2, "2026-02", "--bloom-fpp", "0.01")
     assert again["by_reason"] == second["by_reason"]
     assert again["store_rows"] == 4 and again["n_store_batches"] == 2
 
