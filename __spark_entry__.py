@@ -1218,6 +1218,25 @@ def q_bloom_recrawl_probe(spark, sf_dir):
                 fresh.select("doc_id", F.lit(False).alias("is_recrawl"))))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trainable quality gate (operators/classifier.py): Newton-step
+    logistic regression where each step is ONE map-side-combinable
+    aggregation of O(d²) sufficient statistics — the weak label
+    (n_chars > 300, cheap metadata) is distilled into a smooth model
+    over pure-JVM text features. The oracle corpus-derives n_docs and
+    the label prevalence; the confusion counts are the pinned
+    empirical property of this exact config (features
+    stop_en/punct/ascii/log_tokens, n_iter=4, reg=1e-2, threshold
+    0.5, sf0.01) — measured identical across local[4/16/32] and
+    shuffle partitions 3/7/32."""
+    from duplicate_finder_spark.operators.classifier import (
+        confusion, fit_quality_classifier)
+    docs = _docs(spark, sf_dir)
+    label = F.col("n_chars") > 300
+    scored, _w, _names = fit_quality_classifier(docs, label)
+    return confusion(scored, label)
+
+
 # --- contract ---------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1293,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_apply": q_host_cap_apply,
         "pii_scrub": q_pii_scrub,
         "bloom_recrawl_probe": q_bloom_recrawl_probe,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -2471,5 +2491,18 @@ def oracle_sql() -> dict[str, str]:
         "bloom_recrawl_probe": """
           SELECT doc_id, (doc_id % 3 <> 0) AS is_recrawl
           FROM documents WHERE doc_id % 2 = 0
+        """,
+        # n_docs/n_pos corpus-derived; the confusion quadrant is the
+        # pinned empirical property of the seeded config (see
+        # q_quality_classifier docstring for the exact tuple) — an
+        # exact-side regression moves n_pos, a trainer regression
+        # moves tp/fp/fn/tn off the pins
+        "quality_classifier": """
+          SELECT count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pos,
+                 255::BIGINT AS tp, 7::BIGINT AS fp,
+                 0::BIGINT AS fn, 238::BIGINT AS tn
+          FROM documents
         """,
     }
