@@ -247,3 +247,33 @@ def test_exact_substr_text_never_shuffles(parquet_pages):
             if re.search(r"hashpartitioning\(doc_id#\d+", args):
                 continue  # recomposition exchange: text allowed
             assert "text#" not in cols, (args, cols)
+
+
+def test_bloom_build_combines_map_side(parquet_pages):
+    """operators/bloomfilter.py scale claim: the word-table build's one
+    exchange carries pre-combined (word_idx, word) rows — partial
+    bit_or below the shuffle, so ≤ m/64 rows per map task regardless
+    of corpus rows — and the whole build is JVM-only."""
+    from duplicate_finder_spark.operators.bloomfilter import bloom_words
+    plan = _plan(bloom_words(parquet_pages, "url", 1 << 16, 5),
+                 "simple")
+    assert "partial_bit_or" in plan, plan
+    assert plan.index("partial_bit_or") > plan.index(
+        "Exchange hashpartitioning(word_idx")  # combine BELOW the shuffle
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_cap_per_host_is_two_phase_and_jvm_only(parquet_pages):
+    """operators/domains.py skew claim: the cap runs as a salted
+    (_host, _cell) pre-rank exchange followed by a _host-only exchange
+    over the ≤ salt·K survivors — never a single whole-host window as
+    the only shuffle."""
+    import re
+
+    from duplicate_finder_spark.operators.domains import cap_per_host
+    plan = _plan(cap_per_host(parquet_pages, 3, salt=16), "simple")
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_cell" in p for p in parts), parts   # salted phase 1
+    assert any("_host" in p and "_cell" not in p
+               for p in parts), parts                # exact phase 2
+    assert "EvalPython" not in plan
