@@ -63,6 +63,7 @@ from duplicate_finder_spark.operators.sampling import (
 from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
+from duplicate_finder_spark.operators.semantic import semantic_dedup
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
 SHIFT = 10_000_000
@@ -70,6 +71,8 @@ JACCARD_T = 0.8
 COSINE_T = 0.42
 ANN_K = 10
 ANN_NQ = 10
+SEM_T = 0.95   # semantic-dup cosine threshold (SemDeDup ε = 0.05)
+SEM_K = 8      # semantic_dedup centroids = embeddings of vec_id < SEM_K
 
 GLOB_INCLUDE = ["src1/*", "src2/*"]
 GLOB_EXCLUDE = ["*3"]
@@ -417,6 +420,47 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     return cosine_pairs_above(emb, COSINE_T).select(
         F.col("id_a").alias("vec_id_a"), F.col("id_b").alias("vec_id_b"),
         "sim")
+
+
+def _semantic_corpus(spark, sf_dir):
+    """embeddings ∪ scale-collinear copies — the deterministic
+    semantic-dup harness (the raw table is 500 independent random
+    vectors with max pairwise cosine ≈ 0.48, far below SEM_T, so dup
+    structure is planted): vec_id%7==0 gains a ×1.5 copy at id+10000,
+    vec_id%14==0 ADDITIONALLY a ×0.25 copy at id+20000 — cosine with
+    the original is exactly 1.0 (scale-invariant), every other pair
+    stays < 0.5, so the SEM_T gate has no rounding-boundary risk and
+    nearest-centroid assignment provably co-locates each dup group in
+    one cell."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    c1 = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"))
+    c2 = base.filter(F.col("vec_id") % 14 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.25)).alias("embedding"))
+    return base.unionByName(c1).unionByName(c2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semantic.py) with pinned centroids — the
+    embeddings of the SEM_K smallest vec_ids — so the whole chain
+    (assignment argmax, within-cell pairing, cosine verify, connected
+    components, lowest-centroid-sim keep rule) is mirrored
+    value-for-value by the DuckDB oracle. The trained-centroid
+    (ivf_centroids) and hot-cell star paths are unit-tested
+    (tests/test_semantic.py)."""
+    corpus = _semantic_corpus(spark, sf_dir)
+    cents = (_emb(spark, sf_dir).filter(F.col("vec_id") < SEM_K)
+             .select(F.col("vec_id").cast("int").alias("cell_id"),
+                     F.col("embedding").cast("array<double>").alias("cv")))
+    out = semantic_dedup(corpus, threshold=SEM_T, centroids=cents)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("cell_id").cast("long").alias("cell_id"),
+                      "centroid_sim",
+                      F.col("cluster_id").cast("long").alias("cluster_id"),
+                      "action")
 
 
 def q_multimodal_binary_meta(spark, sf_dir):
@@ -1273,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_clusters": q_cc_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1927,6 +1972,73 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_sum([x * x for x in b.e]))), 6) AS sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT vec_id_a, vec_id_b, sim FROM s WHERE sim >= {COSINE_T}
+        """,
+        # full value-for-value mirror of q_semantic_dedup: planted
+        # scale-collinear copies, pinned centroids (vec_id < SEM_K),
+        # rounded-argmax assignment with cell_id tie-break, within-cell
+        # pairing + cosine >= SEM_T, recursive-CTE components, and the
+        # SemDeDup keep rule (lowest centroid_sim, then smallest vec_id)
+        "semantic_dedup": f"""
+          WITH RECURSIVE v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          corpus AS (
+            SELECT vec_id, e FROM v
+            UNION ALL
+            SELECT vec_id + 10000, [x * 1.5 for x in e]
+            FROM v WHERE vec_id % 7 = 0
+            UNION ALL
+            SELECT vec_id + 20000, [x * 0.25 for x in e]
+            FROM v WHERE vec_id % 14 = 0),
+          cents AS (
+            SELECT vec_id AS cell_id, e AS cv FROM v
+            WHERE vec_id < {SEM_K}),
+          scored AS (
+            SELECT c.vec_id, ct.cell_id,
+                   round(
+                     list_sum([c.e[i] * ct.cv[i]
+                               for i in range(1, len(c.e) + 1)]) /
+                     (sqrt(list_sum([x * x for x in c.e])) *
+                      sqrt(list_sum([x * x for x in ct.cv]))), 6) AS s
+            FROM corpus c, cents ct),
+          assign AS (
+            SELECT vec_id, cell_id, s AS centroid_sim FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+              FROM scored) WHERE rn = 1),
+          pairs AS (
+            SELECT ja.vec_id AS id_a, jb.vec_id AS id_b
+            FROM assign ja
+            JOIN assign jb
+              ON ja.cell_id = jb.cell_id AND ja.vec_id < jb.vec_id
+            JOIN corpus a ON a.vec_id = ja.vec_id
+            JOIN corpus b ON b.vec_id = jb.vec_id
+            WHERE round(
+                    list_sum([a.e[i] * b.e[i]
+                              for i in range(1, len(a.e) + 1)]) /
+                    (sqrt(list_sum([x * x for x in a.e])) *
+                     sqrt(list_sum([x * x for x in b.e]))), 6)
+                  >= {SEM_T}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT e.dst AS node, reach.r
+            FROM reach JOIN edges e ON e.src = reach.node),
+          comp AS (SELECT node AS vec_id, min(r) AS cluster_id
+                   FROM reach GROUP BY node),
+          ranked AS (
+            SELECT m.vec_id, m.cell_id, m.centroid_sim, comp.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY comp.cluster_id
+                     ORDER BY m.centroid_sim ASC, m.vec_id ASC) AS rn
+            FROM comp JOIN assign m USING (vec_id))
+          SELECT vec_id::BIGINT AS vec_id, cell_id::BIGINT AS cell_id,
+                 centroid_sim,
+                 cluster_id::BIGINT AS cluster_id,
+                 CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action
+          FROM ranked
         """,
         "multimodal_binary_meta": """
           SELECT doc_id,
