@@ -63,6 +63,7 @@ from duplicate_finder_spark.operators.sampling import (
 from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
+from duplicate_finder_spark.operators.importance import dsir_select
 from duplicate_finder_spark.operators.semantic import semantic_dedup
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
@@ -73,6 +74,8 @@ ANN_K = 10
 ANN_NQ = 10
 SEM_T = 0.95   # semantic-dup cosine threshold (SemDeDup ε = 0.05)
 SEM_K = 8      # semantic_dedup centroids = embeddings of vec_id < SEM_K
+DSIR_K = 100          # dsir_select keeps the top-100 raw docs
+DSIR_BUCKETS = 16384  # hashed unigram+bigram feature buckets
 
 GLOB_INCLUDE = ["src1/*", "src2/*"]
 GLOB_EXCLUDE = ["*3"]
@@ -461,6 +464,21 @@ def q_semantic_dedup(spark, sf_dir):
                       "centroid_sim",
                       F.col("cluster_id").cast("long").alias("cluster_id"),
                       "action")
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/importance.py): fr-language
+    docs are the trusted target sample, everything else is the raw
+    crawl; keep the DSIR_K raw docs whose hashed unigram+bigram
+    distribution best matches the target. Deterministic variant
+    (integer micro-log-ratio weights, id tie-break) — the oracle
+    re-derives buckets (sha256 prefix mod DSIR_BUCKETS), smoothed log
+    ratios, per-doc integer weights, and the top-k value-for-value.
+    The Gumbel resampling variant is unit-tested Spark-side."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "fr").select("doc_id", "text")
+    raw = docs.filter(F.col("lang") != "fr").select("doc_id", "text")
+    return dsir_select(raw, target, DSIR_K, n_buckets=DSIR_BUCKETS)
 
 
 def q_multimodal_binary_meta(spark, sf_dir):
@@ -1318,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -2039,6 +2058,63 @@ def oracle_sql() -> dict[str, str]:
                  cluster_id::BIGINT AS cluster_id,
                  CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action
           FROM ranked
+        """,
+        # full mirror of q_dsir_select: identical tokenization,
+        # sha256-prefix feature buckets, Laplace-smoothed micro-log
+        # ratios (integer, so per-doc sums are order-independent on
+        # both engines), and the deterministic top-k
+        "dsir_select": f"""
+          WITH split AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t
+            FROM documents),
+          grams AS (
+            SELECT doc_id, lang, unnest(
+              t || CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                        ELSE [t[i] || ' ' || t[i+1]
+                              for i in range(1, len(t))] END) AS g
+            FROM split),
+          feats AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(sha256(g), 1, 8)) AS BIGINT)
+                     % {DSIR_BUCKETS} AS feat
+            FROM grams),
+          ctt AS (SELECT feat, count(*) AS n_t FROM feats
+                  WHERE lang = 'fr' GROUP BY 1),
+          ctr AS (SELECT feat, count(*) AS n_r FROM feats
+                  WHERE lang <> 'fr' GROUP BY 1),
+          cnt AS (
+            SELECT coalesce(ctt.feat, ctr.feat) AS feat,
+                   coalesce(n_t, 0) AS n_t, coalesce(n_r, 0) AS n_r
+            FROM ctt FULL OUTER JOIN ctr ON ctt.feat = ctr.feat),
+          tots AS (SELECT sum(n_t) AS tt, sum(n_r) AS tr FROM cnt),
+          lr AS (
+            SELECT feat,
+                   CAST(round(1e6 * (
+                     ln((n_t + 1.0) / (tt + {DSIR_BUCKETS}.0)) -
+                     ln((n_r + 1.0) / (tr + {DSIR_BUCKETS}.0))))
+                     AS BIGINT) AS lr_micro
+            FROM cnt, tots),
+          wts AS (
+            SELECT doc_id, count(*) AS n_feats,
+                   sum(lr_micro) AS weight_micro
+            FROM feats JOIN lr USING (feat)
+            WHERE lang <> 'fr' GROUP BY 1),
+          w AS (
+            SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+                   coalesce(weight_micro, 0) AS weight_micro
+            FROM (SELECT doc_id FROM documents WHERE lang <> 'fr') d
+            LEFT JOIN wts USING (doc_id)),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              ORDER BY weight_micro DESC, doc_id) AS rank
+            FROM w)
+          SELECT doc_id, n_feats::BIGINT AS n_feats,
+                 weight_micro::BIGINT AS weight_micro,
+                 rank::BIGINT AS rank
+          FROM ranked WHERE rank <= {DSIR_K}
         """,
         "multimodal_binary_meta": """
           SELECT doc_id,

@@ -34,6 +34,8 @@ HEADLINE = [
     "gopher_repetition",
     "eval_contamination",
     "exact_substr_apply",
+    "semantic_dedup",
+    "dsir_select",
 ]
 
 
