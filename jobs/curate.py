@@ -6,8 +6,10 @@
 
 The training-data complement to jobs/dedup.py: quality gate →
 benchmark decontamination → CCNet paragraph dedup → (optional)
-ExactSubstr span removal → (optional) per-stratum token-budget
-sampling — every stage checkpointed through the Warehouse facade
+ExactSubstr span removal → (optional) SemDeDup semantic dedup over a
+supplied embedding table → (optional) per-stratum token-budget
+sampling → (optional) DSIR importance selection against a trusted
+target sample — every stage checkpointed through the Warehouse facade
 (fingerprint-keyed resume-on-rerun), per-stage rows/walls logged to
 the ``metrics`` table, the surviving corpus written to ``curated``,
 and one JSON funnel summary printed for the orchestrator.
@@ -73,6 +75,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "balancing — keep only the first K pages per "
                         "url host (skew-bounded two-phase top-K, "
                         "operators/domains.py) before the quality gate")
+    p.add_argument("--embeddings", default=None,
+                   help="embedding table (parquet: id + array<float>) "
+                        "for SemDeDup semantic dedup of the survivors "
+                        "(operators/semantic.py); ids must align with "
+                        "--id-col values")
+    p.add_argument("--emb-id-col", default="vec_id")
+    p.add_argument("--emb-vec-col", default="embedding")
+    p.add_argument("--semantic-threshold", type=float, default=0.95)
+    p.add_argument("--semantic-cells", type=int, default=64)
+    p.add_argument("--dsir-target", default=None,
+                   help="trusted target sample (parquet: id + text) for "
+                        "DSIR importance selection of the final corpus "
+                        "(operators/importance.py)")
+    p.add_argument("--dsir-k", type=int, default=0,
+                   help="> 0 with --dsir-target: keep only the K most "
+                        "target-like surviving docs")
+    p.add_argument("--dsir-buckets", type=int, default=1 << 16)
     p.add_argument("--redact-pii", action="store_true",
                    help="final stage: replace emails/IPv4s/phone "
                         "numbers in the surviving text with class "
@@ -90,7 +109,9 @@ def _fingerprint(args: argparse.Namespace) -> str:
             "eval_input", "eval_mod", "eval_rem", "min_tokens",
             "max_dup_frac", "gopher_w", "contam_n", "para_w",
             "exact_substr_len", "sample_strata", "sample_budget",
-            "url_col", "max_per_host", "redact_pii")},
+            "url_col", "max_per_host", "redact_pii", "embeddings",
+            "emb_id_col", "emb_vec_col", "semantic_threshold",
+            "semantic_cells", "dsir_target", "dsir_k", "dsir_buckets")},
         sort_keys=True)
     base = args.input_id or args.input
     return hashlib.sha256(f"{base}|{key}".encode()).hexdigest()[:16]
@@ -166,6 +187,19 @@ def main(argv: list[str] | None = None) -> int:
             cur = staged("exact_substr", lambda: exact_substr_apply(
                 cur, args.exact_substr_len, idc, txc)
                 .withColumnRenamed("clean_text", txc))
+        if args.embeddings:
+            from duplicate_finder_spark.operators.semantic import (
+                semantic_dedup)
+            emb = spark.read.parquet(args.embeddings)
+            def _semantic(inner=cur):
+                drops = (semantic_dedup(
+                    emb, threshold=args.semantic_threshold,
+                    n_cells=args.semantic_cells,
+                    id_col=args.emb_id_col, vec_col=args.emb_vec_col)
+                    .filter(F.col("action") == "drop")
+                    .select(F.col("vec_id").alias(idc)))
+                return inner.join(drops, idc, "anti")
+            cur = staged("semantic_deduped", _semantic)
         if args.sample_strata and args.sample_budget > 0:
             strata = train.select(idc, args.sample_strata)
             def _sample(inner=cur):
@@ -174,6 +208,17 @@ def main(argv: list[str] | None = None) -> int:
                     args.sample_budget, token_count(txc), idc)
                 return inner.join(keep.select(idc), idc, "semi")
             cur = staged("sampled", _sample)
+        if args.dsir_target and args.dsir_k > 0:
+            from duplicate_finder_spark.operators.importance import (
+                dsir_select)
+            tgt = spark.read.parquet(args.dsir_target)
+            def _dsir(inner=cur):
+                keep = dsir_select(
+                    inner.select(idc, txc), tgt.select(idc, txc),
+                    args.dsir_k, n_buckets=args.dsir_buckets,
+                    id_col=idc, text_col=txc)
+                return inner.join(keep.select(idc), idc, "semi")
+            cur = staged("dsir_selected", _dsir)
         if args.redact_pii:
             from duplicate_finder_spark.functions.pii import scrub_pii
             def _pii(inner=cur):

@@ -24,6 +24,30 @@ def test_spark_submit_curate_job(spark, tmp_path: Path) -> None:
     inp = str(tmp_path / "docs")
     docs.write.parquet(inp)
 
+    # SemDeDup embedding side-table: sha-derived unit-unique directions
+    # (max accidental pairwise cosine ≈ 0.875 — measured) plus planted
+    # scale-collinear partners: doc i%25==1 duplicates doc i-1 exactly
+    import hashlib
+
+    def _vec(i: int) -> list[float]:
+        if i % 25 == 1:
+            return [2.0 * x for x in _vec(i - 1)]
+        return [int(hashlib.sha256(f"{i}:{d}".encode())
+                    .hexdigest()[:8], 16) / 2 ** 31 - 1.0
+                for d in range(16)]
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame([(i, _vec(i)) for i in ids],
+                          "vec_id long, embedding array<double>") \
+        .write.parquet(emb_path)
+    n_planted = sum(1 for i in ids if i % 25 == 1 and (i - 1) in set(ids))
+
+    # DSIR target sample: the fr-language docs
+    tgt_path = str(tmp_path / "target")
+    docs.filter("lang = 'fr'").select("doc_id", "text") \
+        .write.parquet(tgt_path)
+
     sys.path.insert(0, str(REPO / "tools"))
     from make_pyfiles_zip import build_zip
     zip_path = build_zip(tmp_path)
@@ -42,7 +66,10 @@ def test_spark_submit_curate_job(spark, tmp_path: Path) -> None:
              "--input", inp, "--warehouse", wh,
              "--eval-mod", "50", "--eval-rem", "7",
              "--exact-substr-len", "30",
+             "--embeddings", emb_path, "--semantic-threshold", "0.95",
+             "--semantic-cells", "16",
              "--sample-strata", "lang", "--sample-budget", "3000",
+             "--dsir-target", tgt_path, "--dsir-k", "100",
              "--input-id", "docs-v1"],
             capture_output=True, text=True, env=env,
             cwd=str(tmp_path), timeout=420)
@@ -54,13 +81,20 @@ def test_spark_submit_curate_job(spark, tmp_path: Path) -> None:
     first = submit()
     stages = [s["stage"] for s in first["funnel"]]
     assert stages == ["quality", "decontaminated", "para_deduped",
-                      "exact_substr", "sampled"]
+                      "exact_substr", "semantic_deduped", "sampled",
+                      "dsir_selected"]
     rows = [s["rows"] for s in first["funnel"]]
     # monotone funnel, every stage load-bearing on this corpus
     assert all(a >= b for a, b in zip(rows, rows[1:])), rows
     assert rows[-1] > 0
     assert first["rows"] == rows[-1]
     assert not any(s["resumed"] for s in first["funnel"])
+    # semantic stage removed at most one member per planted pair and
+    # strictly fewer rows than its input (the plants are load-bearing)
+    semantic_removed = rows[3] - rows[4]
+    assert 0 < semantic_removed <= n_planted
+    # DSIR is a hard top-k fence
+    assert rows[-1] == min(100, rows[-2])
 
     second = submit()
     assert [s["rows"] for s in second["funnel"]] == rows
