@@ -30,6 +30,7 @@ from duplicate_finder_spark.functions.text import (bpe_token_count,
                                                    token_count, tokens)
 from duplicate_finder_spark.operators import exact as ex
 from duplicate_finder_spark.operators import decisions as dec
+from duplicate_finder_spark.operators.decisions import keep_best
 from duplicate_finder_spark.operators.setops import vocab_overlap
 from duplicate_finder_spark.operators.events import (event_gaps,
                                                      rollup_by_type_hour)
@@ -335,6 +336,26 @@ def q_cc_clusters(spark, sf_dir):
     assign = connected_components(edges)
     return assign.select(F.col("cluster_id").cast("long").alias("cluster_id"),
                          F.col("url").cast("long").alias("doc_id"))
+
+
+def q_neardup_keep_best(spark, sf_dir):
+    """Quality-aware survivor policy (operators/decisions.keep_best):
+    same flagship near-dup clusters as cc_clusters, but the KEPT member
+    is the cluster's longest document (RefinedWeb-style keep-longest;
+    ties → smallest doc_id), not the smallest id. One window exchange
+    over the cluster assignment."""
+    verified = _verified_near_dup_pairs(spark, sf_dir)
+    edges = verified.select(F.col("url_a").alias("src"),
+                            F.col("url_b").alias("dst"))
+    assign = connected_components(edges).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("url").cast("long").alias("doc_id"))
+    members = assign.join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+    out = keep_best(members, "n_chars", cluster_col="cluster_id",
+                    id_col="doc_id")
+    return out.select("cluster_id", "doc_id", "n_chars", "action",
+                      "reason")
 
 
 # sliding-window long docs: window w concatenates docs
@@ -1333,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_verify_longdocs": q_sketch_verify_longdocs,
         "lsh_hot_bucket_clusters": q_lsh_hot_bucket_clusters,
         "cc_clusters": q_cc_clusters,
+        "neardup_keep_best": q_neardup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
@@ -1850,6 +1872,36 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT min(r) AS cluster_id, node AS doc_id
           FROM reach GROUP BY node
+        """,
+        # same recursive components as cc_clusters, then the
+        # keep-LONGEST policy: per component, rank by n_chars desc with
+        # doc_id asc tie-break — rank 1 keeps, the rest delete
+        "neardup_keep_best": _SHINGLES.replace(
+            "WITH toksrc", "WITH RECURSIVE toksrc", 1) + f"""
+          , pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {JACCARD_T}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT e.dst AS node, reach.r
+            FROM reach JOIN edges e ON e.src = reach.node
+          ),
+          comp AS (SELECT node AS doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY node),
+          ranked AS (
+            SELECT comp.cluster_id, comp.doc_id, d.n_chars,
+                   row_number() OVER (
+                     PARTITION BY comp.cluster_id
+                     ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rn
+            FROM comp JOIN documents d USING (doc_id))
+          SELECT cluster_id::BIGINT AS cluster_id,
+                 doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+                 CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action,
+                 CASE WHEN rn = 1 THEN 'best n_chars in cluster'
+                      ELSE 'outscored on n_chars' END AS reason
+          FROM ranked
         """,
         # same recursive components as cc_clusters, then keep-first:
         # every member except the component minimum is dropped

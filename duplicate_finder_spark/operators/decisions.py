@@ -78,3 +78,35 @@ def apply_delete(pages: DataFrame, decisions: DataFrame,
         return pages  # decisions table is the only output (dry-run parity)
     to_delete = decisions.filter(F.col("action") == "delete").select(url_col)
     return pages.join(to_delete, url_col, "left_anti")
+
+
+def keep_best(members: DataFrame, score_col: str,
+              higher_is_better: bool = True,
+              cluster_col: str = "cluster_id",
+              id_col: str = "url") -> DataFrame:
+    """Score-aware survivor selection: per cluster, keep the member
+    with the best ``score_col`` (ties → smallest ``id_col``), delete
+    the rest.
+
+    The quality-first generalization of ``decide``'s keep-first rule
+    (reference :302-309 keeps the lexicographically first path;
+    RefinedWeb/CCNet-style pipelines instead keep the longest or
+    highest-quality member of a near-dup cluster — pass e.g. a char
+    count, a quality_score, or a classifier probability). One window
+    exchange on ``cluster_col``; deterministic for any score since the
+    id tie-break totally orders members — the same engine-invariance
+    contract as every other decision path.
+    """
+    direction = F.desc(score_col) if higher_is_better else F.asc(score_col)
+    from pyspark.sql import Window
+    w = Window.partitionBy(cluster_col).orderBy(direction, F.asc(id_col))
+    rk = F.row_number().over(w)
+    return (members.withColumn("_r", rk)
+            .withColumn("action",
+                        F.when(F.col("_r") == 1, "keep")
+                         .otherwise("delete"))
+            .withColumn("reason",
+                        F.when(F.col("_r") == 1,
+                               F.lit(f"best {score_col} in cluster"))
+                         .otherwise(F.lit(f"outscored on {score_col}")))
+            .drop("_r"))

@@ -360,3 +360,67 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, threshold: float,
     out = decided.unionByName(reverified).localCheckpoint(eager=True)
     scored.unpersist()
     return out
+
+
+# --- band-parameter tuning (pure math, no Spark) -----------------------------
+
+def lsh_candidate_prob(j: float, bands: int, rows: int) -> float:
+    """P(some band collides | true Jaccard j) = 1 − (1 − j^rows)^bands
+    — the MMDS ch.3 s-curve of a (bands × rows) MinHash LSH."""
+    return 1.0 - (1.0 - j ** rows) ** bands
+
+
+def lsh_miss_mass(threshold: float, bands: int, rows: int,
+                  resolution: int = 2000) -> float:
+    """∫_threshold^1 [1 − P(candidate | j)] dj — the expected
+    false-negative mass of the s-curve over a uniform true-pair prior
+    above the threshold. The north rule's recall ≥ 0.99 contract means
+    this (normalized by 1 − threshold) must stay ≪ 0.01."""
+    lo = int(threshold * resolution)
+    return sum(1.0 - lsh_candidate_prob((i + 0.5) / resolution,
+                                        bands, rows)
+               for i in range(lo, resolution)) / resolution
+
+
+def tune_lsh_bands(threshold: float, num_perm: int = 128,
+                   recall_floor: float = 0.999,
+                   resolution: int = 2000) -> tuple[int, int]:
+    """→ (bands, rows): the divisor split of ``num_perm`` with the
+    LOWEST false-positive mass among splits whose normalized
+    false-negative mass is ≤ ``1 − recall_floor`` (numeric s-curve
+    integration over a uniform true-Jaccard prior above the
+    threshold). If no split reaches the floor, the max-recall split
+    wins — recall is the contract, candidate volume is just cost.
+
+    The floor defaults one nine above the north rule's ≥ 0.99 so
+    thin uniform-prior margins don't ride the contract boundary (real
+    corpora concentrate true pairs just above the threshold, where the
+    s-curve is weakest). At the engine's pinned config this reproduces
+    the shipped choice: tune_lsh_bands(0.8, 128) = (32, 4), whose
+    normalized miss mass is ≈ 2e-9 (the "~1-5e-8 miss" argument used
+    by q_cc_clusters' oracle-equality contract). The s-curve algebra
+    is standard — Leskovec/Rajaraman/Ullman, "Mining of Massive
+    Datasets" §3.4; datasketch's MinHashLSH ships the same style of
+    parameter search (independent implementation).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    budget = 1.0 - recall_floor
+    best_feasible = None
+    best_recall = None
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        cut = int(threshold * resolution)
+        fp = sum(lsh_candidate_prob((i + 0.5) / resolution, bands, rows)
+                 for i in range(cut)) / resolution
+        miss = lsh_miss_mass(threshold, bands, rows, resolution) \
+            / (1.0 - threshold)
+        if miss <= budget and (best_feasible is None
+                               or fp < best_feasible[0]):
+            best_feasible = (fp, bands, rows)
+        if best_recall is None or miss < best_recall[0]:
+            best_recall = (miss, bands, rows)
+    pick = best_feasible or best_recall
+    return pick[1], pick[2]
