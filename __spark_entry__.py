@@ -31,6 +31,7 @@ from duplicate_finder_spark.functions.text import (bpe_token_count,
 from duplicate_finder_spark.operators import exact as ex
 from duplicate_finder_spark.operators import decisions as dec
 from duplicate_finder_spark.operators.decisions import keep_best
+from duplicate_finder_spark.operators.audit import pair_recall_audit
 from duplicate_finder_spark.operators.setops import vocab_overlap
 from duplicate_finder_spark.operators.events import (event_gaps,
                                                      rollup_by_type_hour)
@@ -356,6 +357,30 @@ def q_neardup_keep_best(spark, sf_dir):
                     id_col="doc_id")
     return out.select("cluster_id", "doc_id", "n_chars", "action",
                       "reason")
+
+
+def q_dedup_recall_audit(spark, sf_dir):
+    """The north rule's headline metric as a first-class query output
+    (operators/audit.pair_recall_audit): recall + precision of the
+    approximate scale path (MinHash→LSH→sketch verify) against the
+    EXACT n-gram Jaccard pair set, both computed in Spark on the same
+    corpus at the same shingle config. The oracle recomputes n_truth
+    exactly in DuckDB and asserts recall = precision = 1.0 — the
+    s-curve contract of (32 bands × 4 rows) at T=0.8 (miss mass
+    ~1e-8); any approximate-path regression lands here as a value
+    mismatch, not just in the pairwise queries."""
+    detected = _verified_near_dup_pairs(spark, sf_dir).select(
+        F.col("url_a").cast("long").alias("url_a"),
+        F.col("url_b").cast("long").alias("url_b"))
+    truth = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                                threshold=JACCARD_T).select(
+        F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"))
+    return pair_recall_audit(detected, truth).select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_detected").cast("long").alias("n_detected"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round("recall", 6).alias("recall"),
+        F.round("precision", 6).alias("precision"))
 
 
 # sliding-window long docs: window w concatenates docs
@@ -1355,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_hot_bucket_clusters": q_lsh_hot_bucket_clusters,
         "cc_clusters": q_cc_clusters,
         "neardup_keep_best": q_neardup_keep_best,
+        "dedup_recall_audit": q_dedup_recall_audit,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
@@ -1876,6 +1902,18 @@ def oracle_sql() -> dict[str, str]:
         # same recursive components as cc_clusters, then the
         # keep-LONGEST policy: per component, rank by n_chars desc with
         # doc_id asc tie-break — rank 1 keeps, the rest delete
+        # the audit's truth count is recomputed exactly (jac CTE); the
+        # detected/hit counts and recall=precision=1.0 are the s-curve
+        # contract of (32 bands x 4 rows) at T=0.8 — the same
+        # value-equality the pairwise queries gate, restated as the
+        # north-rule metric, so an approximate-path regression flips
+        # this row red even if no individual pair query is in the run
+        "dedup_recall_audit": _SHINGLES + f"""
+          , t AS (SELECT count(*) AS n FROM jac WHERE j >= {JACCARD_T})
+          SELECT n::BIGINT AS n_truth, n::BIGINT AS n_detected,
+                 n::BIGINT AS n_hit, 1.0::DOUBLE AS recall,
+                 1.0::DOUBLE AS precision FROM t
+        """,
         "neardup_keep_best": _SHINGLES.replace(
             "WITH toksrc", "WITH RECURSIVE toksrc", 1) + f"""
           , pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {JACCARD_T}),
