@@ -203,3 +203,20 @@ class PipelineConfig:
         if self.sort_by_group_size and self.sort_by_file_size:
             # O3 precedence: group-size sort wins (duplicate_finder.py:251-253)
             self.sort_by_file_size = False
+
+    @classmethod
+    def tuned(cls, jaccard_threshold: float = 0.8, num_perm: int = 128,
+              recall_floor: float = 0.999, **kwargs) -> "PipelineConfig":
+        """Config whose LSH band split is DERIVED from the threshold
+        instead of hand-pinned: picks the cheapest (bands, rows)
+        divisor split of ``num_perm`` whose s-curve miss mass meets
+        ``recall_floor`` (operators/lsh.tune_lsh_bands). At the
+        defaults this reproduces the shipped 32x4 @ 0.8, so
+        ``PipelineConfig.tuned()`` == ``PipelineConfig(lsh_bands=32)``
+        — but a user moving the threshold gets a recall-safe band
+        split without re-deriving the MMDS math."""
+        from duplicate_finder_spark.operators.lsh import tune_lsh_bands
+        bands, _ = tune_lsh_bands(jaccard_threshold, num_perm,
+                                  recall_floor=recall_floor)
+        return cls(num_perm=num_perm, lsh_bands=bands,
+                   jaccard_threshold=jaccard_threshold, **kwargs)

@@ -60,3 +60,14 @@ def test_tuned_pair_is_valid_and_meets_floor_when_feasible(t, num_perm):
         for bb in range(1, num_perm + 1) if num_perm % bb == 0)
     if feasible:
         assert miss <= 1e-3
+
+
+def test_config_tuned_reproduces_pinned_flagship():
+    from duplicate_finder_spark.config import PipelineConfig
+    cfg = PipelineConfig.tuned()
+    assert (cfg.lsh_bands, cfg.rows_per_band) == (32, 4)
+    assert cfg.jaccard_threshold == 0.8
+    # kwargs pass through to the regular constructor
+    cfg2 = PipelineConfig.tuned(0.9, 128, sketch_k=256)
+    assert cfg2.num_perm % cfg2.lsh_bands == 0
+    assert cfg2.sketch_k == 256
