@@ -383,6 +383,37 @@ def q_dedup_recall_audit(spark, sf_dir):
         F.round("precision", 6).alias("precision"))
 
 
+def q_oph_recall_audit(spark, sf_dir):
+    """Same audit as dedup_recall_audit, but the signature stage runs
+    ONE-PERMUTATION hashing with rotation densification
+    (operators/minhash._oph_block — O(1) work per shingle instead of
+    O(num_perm); Li/Owen/Zhang 2012, Shrivastava/Li 2014) through the
+    identical LSH banding + sketch-bounded exact verify. The oracle
+    asserts recall = precision = 1.0 against the exact n-gram truth:
+    per-slot collision probability is still ≈ true Jaccard, so the
+    (32 bands × 4 rows) s-curve miss mass stays ~1e-8 at T=0.8 — a
+    regression in the OPH kernel or its densification lands here as a
+    value mismatch."""
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32,
+                         jaccard_threshold=JACCARD_T, sig_scheme="oph")
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
+    sigs = signatures(docs, cfg).persist()
+    detected = verify_pairs(candidate_pairs(sigs, cfg), sigs,
+                            cfg.jaccard_threshold, cfg).select(
+        F.col("url_a").cast("long").alias("url_a"),
+        F.col("url_b").cast("long").alias("url_b"))
+    truth = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                                threshold=JACCARD_T).select(
+        F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"))
+    return pair_recall_audit(detected, truth).select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_detected").cast("long").alias("n_detected"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round("recall", 6).alias("recall"),
+        F.round("precision", 6).alias("precision"))
+
+
 # sliding-window long docs: window w concatenates docs
 # [S*w, S*w + W) ordered by doc_id, so every window exceeds sketch_k
 # shingles (truncated regime) and adjacent windows have controlled
@@ -1381,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_clusters": q_cc_clusters,
         "neardup_keep_best": q_neardup_keep_best,
         "dedup_recall_audit": q_dedup_recall_audit,
+        "oph_recall_audit": q_oph_recall_audit,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
@@ -1909,6 +1941,14 @@ def oracle_sql() -> dict[str, str]:
         # north-rule metric, so an approximate-path regression flips
         # this row red even if no individual pair query is in the run
         "dedup_recall_audit": _SHINGLES + f"""
+          , t AS (SELECT count(*) AS n FROM jac WHERE j >= {JACCARD_T})
+          SELECT n::BIGINT AS n_truth, n::BIGINT AS n_detected,
+                 n::BIGINT AS n_hit, 1.0::DOUBLE AS recall,
+                 1.0::DOUBLE AS precision FROM t
+        """,
+        # identical truth + identical 1.0 contract as dedup_recall_audit:
+        # the OPH signature path must lose NO pair vs the exact oracle
+        "oph_recall_audit": _SHINGLES + f"""
           , t AS (SELECT count(*) AS n FROM jac WHERE j >= {JACCARD_T})
           SELECT n::BIGINT AS n_truth, n::BIGINT AS n_detected,
                  n::BIGINT AS n_hit, 1.0::DOUBLE AS recall,

@@ -151,6 +151,12 @@ class PipelineConfig:
     simhash_bits: int = 64
     simhash_hamming_max: int = 3
     seed: int = 42
+    # signature scheme: "kperm" = classic num_perm independent
+    # permutations (O(num_perm) work per shingle); "oph" = one-
+    # permutation hashing with rotation densification (O(1) per
+    # shingle — Li/Owen/Zhang 2012, Shrivastava/Li 2014), same
+    # signature shape and LSH banding downstream
+    sig_scheme: str = "kperm"
 
     # skew controls (north rule: explicit partitioning/shuffle/skew handling)
     hot_bucket_limit: int = 2000           # docs per LSH bucket before salting
@@ -196,6 +202,13 @@ class PipelineConfig:
                 f"num_perm={self.num_perm} not divisible by "
                 f"lsh_bands={self.lsh_bands}")
         self.rows_per_band = self.num_perm // self.lsh_bands
+        if self.sig_scheme not in ("kperm", "oph"):
+            raise ValueError(
+                f"sig_scheme must be 'kperm' or 'oph': {self.sig_scheme}")
+        if self.sig_scheme == "oph" and self.num_perm & (self.num_perm - 1):
+            raise ValueError(
+                f"sig_scheme='oph' needs power-of-two num_perm, "
+                f"got {self.num_perm}")
         if self.sketch_k <= 0:
             raise ValueError(f"sketch_k must be positive: {self.sketch_k}")
         if self.verify_band is None:

@@ -138,6 +138,111 @@ def make_signature_udf(k: int, num_perm: int, seed: int):
     return signature
 
 
+# --- one-permutation hashing (OPH) -------------------------------------------
+# Li/Owen/Zhang 2012 "One Permutation Hashing"; densification per
+# Shrivastava/Li 2014 (ICML) "Improved Densification of One Permutation
+# Hashing" — rotation fill with an offset term so empty-run borrows
+# cannot manufacture false slot collisions. Public-algorithm citations
+# only; implementation is original numpy.
+
+_OPH_EMPTY_FILL_C = np.uint64(0xC2B2AE3D27D4EB4F)  # odd mix for borrow offset
+
+
+def _oph_block(sh_arrays: list[np.ndarray], num_perm: int,
+               seed: int) -> np.ndarray:
+    """One-permutation min-hash signatures for a block of shingle sets.
+
+    ONE remix multiply per shingle (instead of ``num_perm`` multiply-adds
+    in `_minhash_block`): the remixed hash's top log2(num_perm) bits pick
+    the bin, the full value competes for the bin minimum, and empty bins
+    are densified by borrowing the nearest filled bin to the left
+    (cyclic) plus ``distance * C`` so borrowed slots collide across docs
+    only when the borrow distance AND source value both agree — the
+    2014 "improved densification" scheme. Scatter-min is argsort +
+    ``minimum.reduceat`` over (doc, bin) keys: O(n log n) total, no
+    (num_perm x n) scratch matrix.
+
+    Returns a (len(sh_arrays), num_perm) uint64 matrix. Every input
+    array must be non-empty (caller filters blank docs).
+    """
+    m = num_perm
+    if m & (m - 1):
+        raise ValueError(f"OPH needs power-of-two num_perm, got {m}")
+    p = m.bit_length() - 1
+    d = len(sh_arrays)
+    lens = np.fromiter((len(s) for s in sh_arrays), dtype=np.int64,
+                       count=d)
+    concat = np.concatenate(sh_arrays).astype(np.uint64, copy=False)
+    rng = np.random.RandomState(seed ^ 0x0511)
+    mult = np.uint64(int(rng.randint(1, 1 << 62, dtype=np.uint64)) * 2 + 1)
+    add = np.uint64(int(rng.randint(0, 1 << 62, dtype=np.uint64)))
+    vals = concat * mult + add          # uint64 wraps mod 2^64
+    bins = (vals >> np.uint64(64 - p)).astype(np.int64)
+    doc_of = np.repeat(np.arange(d, dtype=np.int64), lens)
+    gkey = doc_of * m + bins
+    order = np.argsort(gkey, kind="stable")
+    gs, vs = gkey[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    mins = np.minimum.reduceat(vs, starts)
+    slots = np.zeros(d * m, dtype=np.uint64)
+    filled = np.zeros(d * m, dtype=bool)
+    slots[gs[starts]] = mins
+    filled[gs[starts]] = True
+    sig = slots.reshape(d, m)
+    fill = filled.reshape(d, m)
+    if fill.all():
+        return sig
+    # rotation densification: for each empty bin, the nearest filled bin
+    # to its LEFT cyclically. Filled indices are increasing, so the
+    # prefix running max of (col if filled else -1) IS the nearest
+    # filled-to-the-left; positions before the first filled bin wrap to
+    # the LAST filled bin (every doc has >=1 filled bin, so it resolves).
+    col = np.arange(m, dtype=np.int64)
+    idx = np.where(fill, col[None, :], np.int64(-1))
+    run = np.maximum.accumulate(idx, axis=1)
+    last = idx.max(axis=1, keepdims=True)
+    run = np.where(run < 0, last, run)
+    src = run
+    dist = (col[None, :] + m - run) % m
+    rows = np.arange(d)[:, None]
+    borrowed = sig[rows, src] + dist.astype(np.uint64) * _OPH_EMPTY_FILL_C
+    return np.where(fill, sig, borrowed)
+
+
+def make_oph_signature_udf(k: int, num_perm: int, seed: int):
+    """Arrow UDF: array<long> token hashes → struct(shingles, minhash),
+    signature computed by one-permutation hashing + densification —
+    same output schema and downstream contract as `make_signature_udf`,
+    ~O(1) work per shingle instead of O(num_perm)."""
+    out_type = StructType([
+        StructField("shingles", ArrayType(LongType())),
+        StructField("minhash", ArrayType(LongType())),
+    ])
+
+    @F.pandas_udf(out_type)
+    def signature(tok_hashes: pd.Series) -> pd.DataFrame:
+        sh_out: list = []
+        valid: list[np.ndarray] = []
+        valid_pos: list[int] = []
+        for i, row in enumerate(tok_hashes):
+            if row is None or len(row) == 0:
+                sh_out.append(None)
+                continue
+            toks = np.asarray(row, dtype=np.int64).view(np.uint64)
+            sh = shingle_hashes_np(toks, k)
+            sh_out.append(sh.view(np.int64))
+            valid.append(sh)
+            valid_pos.append(i)
+        mh_out: list = [None] * len(sh_out)
+        if valid:
+            sigs = _oph_block(valid, num_perm, seed)
+            for j, pos in enumerate(valid_pos):
+                mh_out[pos] = sigs[j].view(np.int64)
+        return pd.DataFrame({"shingles": sh_out, "minhash": mh_out})
+
+    return signature
+
+
 def make_shingles_udf(k: int):
     """Arrow UDF: array<long> token hashes → array<long> distinct shingle
     hashes. Linear per row (numpy) — use instead of the O(n_tokens²)
@@ -189,7 +294,11 @@ def signatures(pages: DataFrame, cfg: PipelineConfig,
     n_shingles) is a cheap codegen'd scan, not an Arrow pass.
     """
     tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    sig = make_signature_udf(cfg.shingle_size, cfg.num_perm, cfg.seed)
+    if cfg.sig_scheme == "oph":
+        sig = make_oph_signature_udf(cfg.shingle_size, cfg.num_perm,
+                                     cfg.seed)
+    else:
+        sig = make_signature_udf(cfg.shingle_size, cfg.num_perm, cfg.seed)
     return (fan_out(pages)
             .select(F.col(url_col).alias("url"),
                     tok_hashes.alias("_th"))
