@@ -313,9 +313,11 @@ Raw JSON: {raw.rsplit('/', 1)[1]} under BENCH/runs/.
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     variant = sys.argv[2] if len(sys.argv) > 2 else "persist"
+    sig_scheme = sys.argv[3] if len(sys.argv) > 3 else "kperm"
     persist = variant != "recompute"
     ensure_data(n_rows)
-    cfg = PipelineConfig(num_perm=128, lsh_bands=32, jaccard_threshold=0.8)
+    cfg = PipelineConfig(num_perm=128, lsh_bands=32, jaccard_threshold=0.8,
+                         sig_scheme=sig_scheme)
     if variant == "stages":
         main_stages(n_rows, cfg)
         return
@@ -356,7 +358,8 @@ def main() -> None:
            "cpu_ceiling_mean": ceiling,
            "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling
            else None,
-           "variant": variant, "session_order": [8, 32, 32, 8],
+           "variant": variant, "sig_scheme": cfg.sig_scheme,
+           "session_order": [8, 32, 32, 8],
            "sessions": sessions,
            "run_at": time.strftime("%Y-%m-%d %H:%M:%S"),
            "n_rows": n_rows}
