@@ -73,13 +73,18 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame,
     ``max_by`` over a (sim, -cell_id) struct — partial-aggregable, the
     exchange carries one row per vector.
     """
-    v = vectors.select(F.col(id_col).alias("vec_id"),
-                       F.col(vec_col).cast("array<double>").alias("v"))
+    # both norms are prejoined so the k-way scoring row evaluates ONE
+    # interpreted array fold (the dot), not three: _norm(v) once per
+    # vector instead of once per (vector, centroid), _norm(cv) once per
+    # centroid on the broadcast side — bit-identical to the inline form
+    v = (vectors.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("_nv", _norm(F.col("v"))))
+    cents = centroids.withColumn("_ncv", _norm(F.col("cv")))
     sim = F.round(
-        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) *
-                                         _norm(F.col("cv"))),
+        _dot(F.col("v"), F.col("cv")) / (F.col("_nv") * F.col("_ncv")),
         round_digits)
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn("_s", sim)
+    scored = v.crossJoin(F.broadcast(cents)).withColumn("_s", sim)
     # struct ordering is lexicographic: higher sim wins, then higher
     # -cell_id (= smaller cell_id) breaks exact ties
     pick = F.max_by(
@@ -134,14 +139,25 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     pairs_hot = (hot.filter(F.col("vec_id") != F.col("_crep"))
                  .select(F.col("_crep").alias("id_a"),
                          F.col("vec_id").alias("id_b")))
-    pairs = pairs_small.unionByName(pairs_hot).distinct()
+    # no distinct needed: each vector lives in exactly one cell, the
+    # small-cell equi-join emits each unordered pair once (id_a < id_b),
+    # and small/hot cells are disjoint — a distinct here would be a
+    # full extra exchange over the pair set for nothing
+    pairs = pairs_small.unionByName(pairs_hot)
 
+    # norms are computed ONCE per vector, pre-join: array higher-order
+    # functions are CodegenFallback (interpreted per element), and a
+    # cell member appears in O(cell_size) pairs — recomputing its norm
+    # per pair was 2/3 of the verify stage's interpreted work. Division
+    # by the prejoined na*nb is bit-identical to the inline form (same
+    # fold over the same array).
     a = vectors.select(F.col(id_col).alias("id_a"),
                        F.col(vec_col).cast("array<double>").alias("av"))
+    a = a.withColumn("na", _norm(F.col("av")))
     b = vectors.select(F.col(id_col).alias("id_b"),
                        F.col(vec_col).cast("array<double>").alias("bv"))
-    sim = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) *
-                                            _norm(F.col("bv")))
+    b = b.withColumn("nb", _norm(F.col("bv")))
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
     edges = (pairs.join(a, "id_a").join(b, "id_b")
              .withColumn("_sim", F.round(sim, round_digits))
              .filter(F.col("_sim") >= threshold)
