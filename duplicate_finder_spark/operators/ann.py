@@ -33,12 +33,17 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     Ranking happens on the ROUNDED similarity with the neighbor id as
     tie-break, so results are reproducible across engines/float orders.
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv"))
-    n = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("nv"))
-    sim = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) *
-                                            _norm(F.col("nv")))
+    # norms prejoined once per vector (array HOFs are CodegenFallback —
+    # interpreted per element — and each vector meets every query row);
+    # dividing by the prejoined product is bit-identical to the inline
+    # form: same fold over the same array
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_nq", _norm(F.col("qv"))))
+    n = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("nv"))
+         .withColumn("_nn", _norm(F.col("nv"))))
+    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))
     scored = (n.crossJoin(F.broadcast(q))
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", F.round(sim, round_digits)))
@@ -72,12 +77,13 @@ def cosine_pairs_above(vectors: DataFrame, threshold: float,
                 f"has {n} rows > max_rows={max_rows}; use "
                 f"cosine_pairs_lsh for the scale path, or pass "
                 f"max_rows=None to force")
-    a = vectors.select(F.col(id_col).alias("id_a"),
-                       F.col(vec_col).cast("array<double>").alias("av"))
-    b = vectors.select(F.col(id_col).alias("id_b"),
-                       F.col(vec_col).cast("array<double>").alias("bv"))
-    sim = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) *
-                                            _norm(F.col("bv")))
+    a = (vectors.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).cast("array<double>").alias("av"))
+         .withColumn("na", _norm(F.col("av"))))
+    b = (vectors.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).cast("array<double>").alias("bv"))
+         .withColumn("nb", _norm(F.col("bv"))))
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
     return (a.crossJoin(b)
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("sim", F.round(sim, round_digits))
@@ -139,12 +145,16 @@ def cosine_pairs_lsh(vectors: DataFrame, threshold: float,
                          F.col("vec_id").alias("id_b")))
     pairs = pairs_small.unionByName(pairs_hot).distinct()
 
-    a = vectors.select(F.col(id_col).alias("id_a"),
-                       F.col(vec_col).cast("array<double>").alias("av"))
-    b = vectors.select(F.col(id_col).alias("id_b"),
-                       F.col(vec_col).cast("array<double>").alias("bv"))
-    sim = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) *
-                                            _norm(F.col("bv")))
+    # norm once per vector, not once per candidate pair (HOF folds are
+    # interpreted; a bucket member appears in O(bucket) pairs) —
+    # bit-identical to the inline form
+    a = (vectors.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).cast("array<double>").alias("av"))
+         .withColumn("na", _norm(F.col("av"))))
+    b = (vectors.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).cast("array<double>").alias("bv"))
+         .withColumn("nb", _norm(F.col("bv"))))
+    sim = _dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))
     return (pairs.join(a, "id_a").join(b, "id_b")
             .withColumn("sim", F.round(sim, round_digits))
             .filter(F.col("sim") >= threshold)
@@ -178,12 +188,13 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
         pairs = m if pairs is None else pairs.unionByName(m)
     cand = (pairs.filter(F.col("query_id") != F.col("neighbor_id"))
             .distinct())
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv"))
-    n = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("nv"))
-    sim = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) *
-                                            _norm(F.col("nv")))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_nq", _norm(F.col("qv"))))
+    n = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("nv"))
+         .withColumn("_nn", _norm(F.col("nv"))))
+    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))
     scored = (cand.join(n, "neighbor_id").join(F.broadcast(q), "query_id")
               .withColumn("sim", F.round(sim, round_digits)))
     w = F.row_number().over(
@@ -246,10 +257,11 @@ def _nearest_cells(side: DataFrame, cents: DataFrame, n_probe: int,
     Centroids broadcast; the N×M scoring is map-side, and for n_probe=1
     the argmax is a partial-aggregable max_by (shuffle carries one row
     per vector, not N×M)."""
-    v = side.select(F.col(id_col).alias(out_id),
-                    F.col(vec_col).cast("array<double>").alias("v"))
-    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) *
-                                           _norm(F.col("cv")))
+    v = (side.select(F.col(id_col).alias(out_id),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("_nv", _norm(F.col("v"))))
+    cents = cents.withColumn("_ncv", _norm(F.col("cv")))
+    sim = _dot(F.col("v"), F.col("cv")) / (F.col("_nv") * F.col("_ncv"))
     scored = v.crossJoin(F.broadcast(cents)).withColumn("_s", sim)
     if n_probe == 1:
         return (scored.groupBy(out_id)
@@ -290,12 +302,13 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cand = (v_cells.join(F.broadcast(q_cells), "cell_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv"))
-    n = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("nv"))
-    sim = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) *
-                                            _norm(F.col("nv")))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_nq", _norm(F.col("qv"))))
+    n = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("nv"))
+         .withColumn("_nn", _norm(F.col("nv"))))
+    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))
     scored = (cand.join(n, "neighbor_id").join(F.broadcast(q), "query_id")
               .withColumn("sim", F.round(sim, round_digits)))
     w = F.row_number().over(
