@@ -88,9 +88,16 @@ def shingle_hashes_np(tok_hashes: np.ndarray, k: int) -> np.ndarray:
 
 
 # shingle-count budget per vectorized minhash block: bounds the
-# (num_perm × total_shingles) uint64 scratch matrix to num_perm × 64Ki × 8B
-# (64 MiB at 128 perms) regardless of Arrow batch size
-_BLOCK_SHINGLES = 65536
+# (num_perm × total_shingles) uint64 scratch matrix to num_perm × 16Ki × 8B
+# (16 MiB at 128 perms) regardless of Arrow batch size. Measured at 1M
+# docs/local[32] (2026-08-19, interleaved best-of): 64Ki blocks (64 MiB
+# scratch) walled 55-140 s vs 40-52 s at 16Ki and the 8→32-core stage
+# efficiency moved 0.20→0.57 — with 32 Python workers each streaming a
+# 64 MiB scratch matrix the shared memory bus saturates (this host's
+# measured membw ceiling is 0.20-0.43), while 16 MiB keeps the reduce
+# mostly in cache. 8Ki measured the same best wall but less stably;
+# 4Ki starts paying per-block Python overhead.
+_BLOCK_SHINGLES = 16384
 
 
 def _minhash_block(sh_arrays: list[np.ndarray], a: np.ndarray,
