@@ -66,6 +66,9 @@ from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
 from duplicate_finder_spark.operators.importance import dsir_select
+from duplicate_finder_spark.operators.gopherquality import (
+    gopher_quality_signals)
+from duplicate_finder_spark.operators.lm import lm_score
 from duplicate_finder_spark.operators.semantic import semantic_dedup
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
@@ -78,6 +81,14 @@ SEM_T = 0.95   # semantic-dup cosine threshold (SemDeDup ε = 0.05)
 SEM_K = 8      # semantic_dedup centroids = embeddings of vec_id < SEM_K
 DSIR_K = 100          # dsir_select keeps the top-100 raw docs
 DSIR_BUCKETS = 16384  # hashed unigram+bigram feature buckets
+LM_BUCKETS = 16384    # lm_score hashed word/bigram buckets
+# Gopher Table A1 thresholds scaled to the synthetic corpus the way
+# CONTAM_N scales GPT-3's 13-gram probe: docs are 10-99 words of a
+# ~30-word vocabulary, so the paper's min_words=50 / ≥2-required-
+# stopword gates become 20 / ≥1 ("the" is the list's only member
+# present) — both load-bearing at sf0.01 (367/500 pass).
+GOPHER_MIN_WORDS = 20
+GOPHER_MIN_STOPWORD_HITS = 1
 
 GLOB_INCLUDE = ["src1/*", "src2/*"]
 GLOB_EXCLUDE = ["*3"]
@@ -1053,6 +1064,28 @@ def q_gopher_repetition(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir), w=GOPHER_W)
 
 
+def q_gopher_quality_filter(spark, sf_dir):
+    """The REST of Gopher Table A1 (Rae et al. 2021) beyond the
+    repetition signals: word-count band, mean word length, symbol and
+    bullet/ellipsis line ratios, alphabetic-word fraction, required
+    stopwords — one codegen'd JVM projection, per-rule booleans plus
+    the conjunctive pass flag (367/500 pass at sf0.01)."""
+    return gopher_quality_signals(
+        _docs(spark, sf_dir), min_words=GOPHER_MIN_WORDS,
+        min_required_hits=GOPHER_MIN_STOPWORD_HITS)
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality ranking: hashed add-one word-bigram model
+    fit on the trusted sample (lang='fr', the same target split as
+    dsir_select), every doc scored by integer micro-nat NLL. Target
+    docs score lower (sf0.01: mean 9.34e6 vs 9.55e6 micro-nats/bigram)
+    — the signal separates, deterministically."""
+    docs = _docs(spark, sf_dir)
+    return lm_score(docs, docs.filter(F.col("lang") == "fr"),
+                    n_buckets=LM_BUCKETS)
+
+
 CONTAM_N = 6      # probe n-gram length (GPT-3 used 13; scaled to corpus)
 CENSUS_N = 3      # census n-gram length
 EVAL_MOD = 50     # doc_id % EVAL_MOD == 7 → held-out "benchmark" docs
@@ -1440,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_stats": q_paragraph_dedup_stats,
         "paragraph_dedup_apply": q_paragraph_dedup_apply,
         "gopher_repetition": q_gopher_repetition,
+        "gopher_quality_filter": q_gopher_quality_filter,
+        "lm_perplexity": q_lm_perplexity,
         "eval_contamination": q_eval_contamination,
         "ngram_dup_census": q_ngram_dup_census,
         "curation_funnel": q_curation_funnel,
@@ -2563,6 +2598,115 @@ def oracle_sql() -> dict[str, str]:
           SELECT p.doc_id, p.n_paras, p.n_dup_paras, p.dup_para_char_frac,
                  g.top_2gram, g.top_2gram_char_frac
           FROM pstats p JOIN gtop g USING (doc_id)
+        """,
+        # full mirror of q_gopher_quality_filter: same tokenization,
+        # char-length sums via separator-less joins, literal-replace
+        # occurrence counts, blank-filtered lines, and the rounded
+        # ratios the rules compare against
+        "gopher_quality_filter": f"""
+          WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lns
+            FROM documents),
+          sig AS (
+            SELECT doc_id, len(t)::BIGINT AS n_words,
+              round(CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE length(array_to_string(t, '')) * 1.0 / len(t)
+                    END, 6) AS mean_word_len,
+              round(CASE WHEN len(t) = 0 THEN 0.0 ELSE (
+                  (length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '…', '')))
+                  + (length(replace(text, '…', ''))
+                     - length(replace(replace(text, '…', ''),
+                                      '...', ''))) / 3.0
+                ) * 1.0 / len(t) END, 6) AS symbol_word_ratio,
+              round(CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE len(list_filter(lns, l ->
+                           starts_with(ltrim(l), '•')
+                           OR starts_with(ltrim(l), '- ')))
+                         * 1.0 / len(lns) END, 6) AS bullet_line_frac,
+              round(CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE len(list_filter(lns, l ->
+                           ends_with(rtrim(l), '…')
+                           OR ends_with(rtrim(l), '...')))
+                         * 1.0 / len(lns) END, 6) AS ellipsis_line_frac,
+              round(CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE len(list_filter(t, w ->
+                           regexp_matches(w, '[A-Za-z]')))
+                         * 1.0 / len(t) END, 6) AS alpha_word_frac,
+              len(list_intersect(
+                list_distinct(list_transform(t, w -> lower(w))),
+                ['the','be','to','of','and','that','have','with']
+              ))::BIGINT AS n_required_stopwords
+            FROM base)
+          SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                 bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                 n_required_stopwords,
+                 (n_words BETWEEN {GOPHER_MIN_WORDS} AND 100000)::INT
+                   AS ok_words,
+                 (mean_word_len BETWEEN 3.0 AND 10.0)::INT
+                   AS ok_mean_word_len,
+                 (symbol_word_ratio <= 0.1)::INT AS ok_symbols,
+                 (bullet_line_frac <= 0.9)::INT AS ok_bullets,
+                 (ellipsis_line_frac <= 0.3)::INT AS ok_ellipsis,
+                 (alpha_word_frac >= 0.8)::INT AS ok_alpha,
+                 (n_required_stopwords >= {GOPHER_MIN_STOPWORD_HITS})::INT
+                   AS ok_stopwords,
+                 ((n_words BETWEEN {GOPHER_MIN_WORDS} AND 100000)
+                  AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                  AND symbol_word_ratio <= 0.1
+                  AND bullet_line_frac <= 0.9
+                  AND ellipsis_line_frac <= 0.3
+                  AND alpha_word_frac >= 0.8
+                  AND n_required_stopwords >=
+                      {GOPHER_MIN_STOPWORD_HITS})::INT AS passes_gopher
+          FROM sig
+        """,
+        # full mirror of q_lm_perplexity: identical tokenization,
+        # sha256-prefix buckets (the dsir_select idiom), (u,b)-keyed
+        # add-one bigram model fit on lang='fr', integer micro-nat NLL
+        # so per-doc sums are order-independent, floor-division mean
+        "lm_perplexity": f"""
+          WITH split AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t
+            FROM documents),
+          gidx AS (
+            SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+            FROM split WHERE len(t) >= 2),
+          bg AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(sha256(t[i]), 1, 8))
+                        AS BIGINT) % {LM_BUCKETS} AS u,
+                   CAST(concat('0x', substr(sha256(t[i] || ' ' ||
+                                                   t[i+1]), 1, 8))
+                        AS BIGINT) % {LM_BUCKETS} AS b
+            FROM gidx),
+          uni AS (SELECT u, count(*) AS n_u FROM bg
+                  WHERE lang = 'fr' GROUP BY 1),
+          bi AS (SELECT u, b, count(*) AS n_b FROM bg
+                 WHERE lang = 'fr' GROUP BY 1, 2),
+          sc AS (
+            SELECT g.doc_id,
+                   CAST(round(1e6 * (
+                     ln(coalesce(n_u, 0) + {LM_BUCKETS}.0)
+                     - ln(coalesce(n_b, 0) + 1.0))) AS BIGINT) AS nll
+            FROM bg g
+            LEFT JOIN bi ON g.u = bi.u AND g.b = bi.b
+            LEFT JOIN uni ON g.u = uni.u),
+          agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   sum(nll)::BIGINT AS nll_micro
+            FROM sc GROUP BY 1)
+          SELECT doc_id, n_bigrams, nll_micro,
+                 (nll_micro // n_bigrams)::BIGINT AS mean_nll_micro
+          FROM agg
         """,
         # per-doc-distinct word n-grams; Spark joins by xxhash64 with a
         # string-equality collision guard, so semantics are exactly the

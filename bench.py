@@ -36,6 +36,8 @@ HEADLINE = [
     "exact_substr_apply",
     "semantic_dedup",
     "dsir_select",
+    "gopher_quality_filter",
+    "lm_perplexity",
 ]
 
 
