@@ -1124,6 +1124,28 @@ def q_curation_funnel(spark, sf_dir):
                            para_w=PARA_W)
 
 
+LM_MAX_MEAN_NLL = 8_200_000   # lm_filter keep threshold, micro-nats —
+# ≈ p75 of the gopher-survivor score distribution at sf0.01 (CCNet
+# keeps the low-perplexity head+middle of its ranking)
+
+
+def q_curation_funnel_full(spark, sf_dir):
+    """The funnel with BOTH optional gates enabled: raw → quality →
+    Gopher Table A1 rules → CCNet LM-perplexity filter →
+    decontamination → paragraph dedup. Every stage drops docs at
+    sf0.01 (490 → 432 → 348 → 264 → 263 → 259), so each gate is
+    load-bearing on top of the previous one."""
+    docs = _docs(spark, sf_dir)
+    return curation_funnel(
+        docs, (F.col("doc_id") % EVAL_MOD) == 7,
+        min_tokens=20, max_dup_frac=0.07,
+        gopher_w=GOPHER_W, contam_n=CONTAM_N, para_w=PARA_W,
+        gopher_kw=dict(min_words=GOPHER_MIN_WORDS,
+                       min_required_hits=GOPHER_MIN_STOPWORD_HITS),
+        lm_target=docs.filter(F.col("lang") == "fr"),
+        lm_max_mean_nll=LM_MAX_MEAN_NLL, lm_buckets=LM_BUCKETS)
+
+
 EXSUB_L = 30  # ExactSubstr anchor length, chars (Lee et al. used 50 tokens;
               # 30 chars ≈ 5 words separates planted from incidental dups
               # cleanly at this corpus's ~300-char docs)
@@ -1478,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_contamination": q_eval_contamination,
         "ngram_dup_census": q_ngram_dup_census,
         "curation_funnel": q_curation_funnel,
+        "curation_funnel_full": q_curation_funnel_full,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
         "neardup_dedup_apply": q_neardup_dedup_apply,
@@ -2827,6 +2850,191 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 2, 'decontaminated', count(*),
                            coalesce(sum(length(text)), 0) FROM decon
           UNION ALL SELECT 3, 'para_deduped', count(*),
+                           coalesce(sum(length(clean_text)), 0) FROM dedup
+        """,
+        # full mirror of q_curation_funnel_full: the 4-stage funnel
+        # with the Gopher Table A1 gate and the CCNet LM-perplexity
+        # gate composed between quality and decontamination — the
+        # gopher rules and LM arithmetic are the same fragments the
+        # standalone gopher_quality_filter / lm_perplexity oracles use
+        "curation_funnel_full": f"""
+          WITH train AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 7
+          ), ev AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7
+          ), long_enough AS (
+            SELECT doc_id, text FROM train
+            WHERE (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END) >= 20
+          ), gw AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM long_enough
+          ), gidx AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, cast(ceil(len(ws)/2.0) AS INT))) AS i
+            FROM gw
+          ), gparas AS (
+            SELECT doc_id, i AS para_idx,
+                   array_to_string(ws[i*2+1 : i*2+2], ' ') AS para
+            FROM gidx
+          ), gflag AS (
+            SELECT doc_id, length(para) AS n_chars,
+                   row_number() OVER (PARTITION BY doc_id, para
+                                      ORDER BY para_idx) AS occ
+            FROM gparas
+          ), dupf AS (
+            SELECT doc_id, sum(CASE WHEN occ > 1 THEN n_chars ELSE 0 END)
+                           * 1.0 / sum(n_chars) AS f
+            FROM gflag GROUP BY 1
+          ), quality AS (
+            SELECT le.doc_id, le.text
+            FROM long_enough le JOIN dupf USING (doc_id)
+            WHERE dupf.f <= 0.07
+          ), qsig AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lns
+            FROM quality
+          ), gopher AS (
+            SELECT doc_id, text FROM qsig
+            WHERE len(t) BETWEEN {GOPHER_MIN_WORDS} AND 100000
+              AND round(CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE length(array_to_string(t, '')) * 1.0 / len(t)
+                    END, 6) BETWEEN 3.0 AND 10.0
+              AND round(CASE WHEN len(t) = 0 THEN 0.0 ELSE (
+                    (length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '…', '')))
+                    + (length(replace(text, '…', ''))
+                       - length(replace(replace(text, '…', ''),
+                                        '...', ''))) / 3.0
+                  ) * 1.0 / len(t) END, 6) <= 0.1
+              AND round(CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE len(list_filter(lns, l ->
+                           starts_with(ltrim(l), '•')
+                           OR starts_with(ltrim(l), '- ')))
+                         * 1.0 / len(lns) END, 6) <= 0.9
+              AND round(CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE len(list_filter(lns, l ->
+                           ends_with(rtrim(l), '…')
+                           OR ends_with(rtrim(l), '...')))
+                         * 1.0 / len(lns) END, 6) <= 0.3
+              AND round(CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE len(list_filter(t, w ->
+                           regexp_matches(w, '[A-Za-z]')))
+                         * 1.0 / len(t) END, 6) >= 0.8
+              AND len(list_intersect(
+                    list_distinct(list_transform(t, w -> lower(w))),
+                    ['the','be','to','of','and','that','have','with']
+                  )) >= {GOPHER_MIN_STOPWORD_HITS}
+          ), lmtsplit AS (
+            SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS t
+            FROM documents WHERE lang = 'fr'
+          ), lmtidx AS (
+            SELECT t, unnest(range(1, len(t))) AS i
+            FROM lmtsplit WHERE len(t) >= 2
+          ), lmtbg AS (
+            SELECT CAST(concat('0x', substr(sha256(t[i]), 1, 8))
+                        AS BIGINT) % {LM_BUCKETS} AS u,
+                   CAST(concat('0x', substr(sha256(t[i] || ' ' ||
+                                                   t[i+1]), 1, 8))
+                        AS BIGINT) % {LM_BUCKETS} AS b
+            FROM lmtidx
+          ), lmuni AS (SELECT u, count(*) AS n_u FROM lmtbg GROUP BY 1
+          ), lmbi AS (SELECT u, b, count(*) AS n_b FROM lmtbg
+                      GROUP BY 1, 2
+          ), lmdsplit AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM gopher
+          ), lmdidx AS (
+            SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM lmdsplit WHERE len(t) >= 2
+          ), lmdbg AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(sha256(t[i]), 1, 8))
+                        AS BIGINT) % {LM_BUCKETS} AS u,
+                   CAST(concat('0x', substr(sha256(t[i] || ' ' ||
+                                                   t[i+1]), 1, 8))
+                        AS BIGINT) % {LM_BUCKETS} AS b
+            FROM lmdidx
+          ), lmsc AS (
+            SELECT g.doc_id,
+                   CAST(round(1e6 * (
+                     ln(coalesce(n_u, 0) + {LM_BUCKETS}.0)
+                     - ln(coalesce(n_b, 0) + 1.0))) AS BIGINT) AS nll
+            FROM lmdbg g
+            LEFT JOIN lmbi ON g.u = lmbi.u AND g.b = lmbi.b
+            LEFT JOIN lmuni ON g.u = lmuni.u
+          ), lmkeep AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, sum(nll) AS s, count(*) AS n
+              FROM lmsc GROUP BY 1)
+            WHERE s // n <= {LM_MAX_MEAN_NLL}
+          ), lmf AS (
+            SELECT g.doc_id, g.text FROM gopher g
+            JOIN lmkeep USING (doc_id)
+          ), egrams AS (
+            SELECT DISTINCT unnest(
+              CASE WHEN len(t) < 6 THEN []::VARCHAR[]
+                   ELSE [array_to_string(t[i:i+5], ' ')
+                         for i in range(1, len(t)-4)] END) AS g
+            FROM (SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                         ELSE regexp_split_to_array(trim(text), '\\s+')
+                         END AS t FROM ev)
+          ), tgrams AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(t) < 6 THEN []::VARCHAR[]
+                   ELSE [array_to_string(t[i:i+5], ' ')
+                         for i in range(1, len(t)-4)] END) AS g
+            FROM (SELECT doc_id,
+                         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                         ELSE regexp_split_to_array(trim(text), '\\s+')
+                         END AS t FROM lmf)
+          ), dirty AS (
+            SELECT DISTINCT doc_id FROM tgrams JOIN egrams USING (g)
+          ), decon AS (
+            SELECT q.doc_id, q.text FROM lmf q
+            ANTI JOIN dirty d ON q.doc_id = d.doc_id
+          ), dwords AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM decon WHERE trim(text) <> ''
+          ), didx AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, cast(ceil(len(ws)/3.0) AS INT))) AS i
+            FROM dwords
+          ), dparas AS (
+            SELECT doc_id, i AS para_idx,
+                   array_to_string(ws[i*3+1 : i*3+3], ' ') AS para
+            FROM didx
+          ), kept AS (
+            SELECT doc_id, para_idx, para FROM dparas
+            QUALIFY row_number() OVER (PARTITION BY para
+                                       ORDER BY doc_id, para_idx) = 1
+          ), dedup AS (
+            SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx)
+                   AS clean_text
+            FROM kept GROUP BY 1
+          )
+          SELECT 0::BIGINT AS stage_idx, 'raw' AS stage,
+                 count(*)::BIGINT AS n_docs,
+                 coalesce(sum(length(text)), 0)::BIGINT AS n_chars
+          FROM train
+          UNION ALL SELECT 1, 'quality', count(*),
+                           coalesce(sum(length(text)), 0) FROM quality
+          UNION ALL SELECT 2, 'gopher_rules', count(*),
+                           coalesce(sum(length(text)), 0) FROM gopher
+          UNION ALL SELECT 3, 'lm_filter', count(*),
+                           coalesce(sum(length(text)), 0) FROM lmf
+          UNION ALL SELECT 4, 'decontaminated', count(*),
+                           coalesce(sum(length(text)), 0) FROM decon
+          UNION ALL SELECT 5, 'para_deduped', count(*),
                            coalesce(sum(length(clean_text)), 0) FROM dedup
         """,
         # Spark keys anchor grams by the (xxhash64, salted-xxhash64)

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 
 from duplicate_finder_spark.functions.text import token_count, tokens
 from duplicate_finder_spark.operators.contamination import ngrams
+from duplicate_finder_spark.operators.gopherquality import gopher_filter
+from duplicate_finder_spark.operators.lm import lm_score
 from duplicate_finder_spark.operators.paragraphs import (
     _flag_occurrences, paragraph_dedup_apply, paragraphs)
 
@@ -100,12 +102,29 @@ def curation_funnel(docs: DataFrame, eval_pred: Column,
                     min_tokens: int = 20, max_dup_frac: float = 0.07,
                     gopher_w: int = 2, contam_n: int = 6,
                     para_w: int = 3, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    gopher_kw: dict | None = None,
+                    lm_target: DataFrame | None = None,
+                    lm_max_mean_nll: int = 0,
+                    lm_buckets: int = 1 << 14) -> DataFrame:
     """Run the curation chain; return per-stage (idx, name, docs, chars).
 
     ``eval_pred`` marks held-out benchmark docs: they are excluded from
     the funnel at stage 0 (they are not training data) and their n-grams
     are the decontamination probe set.
+
+    Two optional stages slot in between quality and decontamination:
+
+    * ``gopher_kw`` (threshold kwargs for
+      :func:`~duplicate_finder_spark.operators.gopherquality.gopher_filter`)
+      enables the full Gopher Table A1 rule gate — a join-free
+      codegen'd filter, free at any scale;
+    * ``lm_target`` enables the CCNet perplexity gate: a hashed
+      add-one bigram model is fit on the target sample and docs with
+      ``mean_nll_micro > lm_max_mean_nll`` (integer micro-nats) are
+      dropped. The model tables broadcast; the only added wide work is
+      the per-doc score agg plus one id semi-join — the same shape as
+      the quality gate's dup-fraction stage.
     """
     train = docs.filter(~eval_pred).select(id_col, text_col)
     ev = docs.filter(eval_pred).select(id_col, text_col)
@@ -113,14 +132,30 @@ def curation_funnel(docs: DataFrame, eval_pred: Column,
     # stage 1 — quality: length floor + Gopher duplicate-window gate
     quality = quality_gate(train, min_tokens, max_dup_frac, gopher_w,
                            id_col, text_col)
-    # stage 2 — decontamination: any shared contam_n-gram with eval ⇒ out
-    decon = decontaminate(quality, ev, contam_n, id_col, text_col)
+    stages: list[tuple[DataFrame, str, str]] = [
+        (train, "raw", text_col), (quality, "quality", text_col)]
+    cur = quality
 
-    # stage 3 — CCNet paragraph dedup over the survivors.
+    if gopher_kw is not None:
+        cur = gopher_filter(cur, id_col, text_col, **gopher_kw)
+        stages.append((cur, "gopher_rules", text_col))
+
+    if lm_target is not None:
+        keep = (lm_score(cur, lm_target, lm_buckets, id_col, text_col)
+                .filter(F.col("mean_nll_micro") <= lm_max_mean_nll)
+                .select(id_col))
+        cur = cur.join(keep, id_col, "semi")
+        stages.append((cur, "lm_filter", text_col))
+
+    # decontamination: any shared contam_n-gram with eval ⇒ out
+    decon = decontaminate(cur, ev, contam_n, id_col, text_col)
+    stages.append((decon, "decontaminated", text_col))
+
+    # CCNet paragraph dedup over the survivors.
     deduped = paragraph_dedup_apply(decon, para_w, id_col, text_col)
+    stages.append((deduped, "para_deduped", "clean_text"))
 
-    return (_stage(train, 0, "raw")
-            .unionByName(_stage(quality, 1, "quality"))
-            .unionByName(_stage(decon, 2, "decontaminated"))
-            .unionByName(_stage(deduped, 3, "para_deduped",
-                                chars_col="clean_text")))
+    out = _stage(stages[0][0], 0, stages[0][1], stages[0][2])
+    for i, (df, name, chars) in enumerate(stages[1:], start=1):
+        out = out.unionByName(_stage(df, i, name, chars))
+    return out

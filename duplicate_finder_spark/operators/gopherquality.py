@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 
 from duplicate_finder_spark.functions.text import tokens
 
-__all__ = ["REQUIRED_STOPWORDS", "gopher_quality_signals"]
+__all__ = ["REQUIRED_STOPWORDS", "gopher_filter",
+           "gopher_quality_signals"]
 
 # Rae et al. 2021 Table A1 "stop word filter" list.
 REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and",
@@ -61,27 +62,10 @@ def _frac(num: Column, den: Column) -> Column:
     return F.round(F.when(den == 0, F.lit(0.0)).otherwise(num / den), 6)
 
 
-def gopher_quality_signals(docs: DataFrame,
-                           id_col: str = "doc_id",
-                           text_col: str = "text",
-                           min_words: int = 50,
-                           max_words: int = 100_000,
-                           min_mean_word_len: float = 3.0,
-                           max_mean_word_len: float = 10.0,
-                           max_symbol_word_ratio: float = 0.1,
-                           max_bullet_line_frac: float = 0.9,
-                           max_ellipsis_line_frac: float = 0.3,
-                           min_alpha_word_frac: float = 0.8,
-                           required_stopwords: tuple[str, ...]
-                           = REQUIRED_STOPWORDS,
-                           min_required_hits: int = 2) -> DataFrame:
-    """→ one row per doc: every Table A1 signal + per-rule booleans +
-    the conjunctive ``passes_gopher`` flag.
-
-    Defaults are the paper's thresholds; callers filtering synthetic or
-    domain corpora scale them (the driver query documents its scaled
-    choices the way CONTAM_N scales GPT-3's 13-gram probe).
-    """
+def _signal_exprs(text_col: str,
+                  required_stopwords: tuple[str, ...]
+                  ) -> dict[str, Column]:
+    """The seven Table A1 signals as named (rounded) expressions."""
     text = F.col(text_col)
     toks = tokens(text)
     n_words = F.size(toks)
@@ -114,33 +98,102 @@ def gopher_quality_signals(docs: DataFrame,
     hits = F.size(F.array_intersect(
         F.array_distinct(F.transform(toks, F.lower)), required))
 
-    out = (docs.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        hits.cast("long").alias("n_required_stopwords")))
-
-    rules = {
-        "ok_words": (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words),
-        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "ok_symbols": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
-        "ok_bullets": F.col("bullet_line_frac") <= max_bullet_line_frac,
-        "ok_ellipsis":
-            F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
-        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
-        "ok_stopwords":
-            F.col("n_required_stopwords") >= min_required_hits,
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_required_stopwords": hits.cast("long"),
     }
+
+
+def _rule_exprs(min_words: int, max_words: int,
+                min_mean_word_len: float, max_mean_word_len: float,
+                max_symbol_word_ratio: float,
+                max_bullet_line_frac: float,
+                max_ellipsis_line_frac: float,
+                min_alpha_word_frac: float,
+                min_required_hits: int,
+                sig: dict[str, Column]) -> dict[str, Column]:
+    """Per-rule predicates over the (rounded) signal expressions."""
+    return {
+        "ok_words": (sig["n_words"] >= min_words)
+        & (sig["n_words"] <= max_words),
+        "ok_mean_word_len":
+            (sig["mean_word_len"] >= min_mean_word_len)
+            & (sig["mean_word_len"] <= max_mean_word_len),
+        "ok_symbols": sig["symbol_word_ratio"] <= max_symbol_word_ratio,
+        "ok_bullets": sig["bullet_line_frac"] <= max_bullet_line_frac,
+        "ok_ellipsis":
+            sig["ellipsis_line_frac"] <= max_ellipsis_line_frac,
+        "ok_alpha": sig["alpha_word_frac"] >= min_alpha_word_frac,
+        "ok_stopwords":
+            sig["n_required_stopwords"] >= min_required_hits,
+    }
+
+
+def gopher_quality_signals(docs: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           min_words: int = 50,
+                           max_words: int = 100_000,
+                           min_mean_word_len: float = 3.0,
+                           max_mean_word_len: float = 10.0,
+                           max_symbol_word_ratio: float = 0.1,
+                           max_bullet_line_frac: float = 0.9,
+                           max_ellipsis_line_frac: float = 0.3,
+                           min_alpha_word_frac: float = 0.8,
+                           required_stopwords: tuple[str, ...]
+                           = REQUIRED_STOPWORDS,
+                           min_required_hits: int = 2) -> DataFrame:
+    """→ one row per doc: every Table A1 signal + per-rule booleans +
+    the conjunctive ``passes_gopher`` flag.
+
+    Defaults are the paper's thresholds; callers filtering synthetic or
+    domain corpora scale them (the driver query documents its scaled
+    choices the way CONTAM_N scales GPT-3's 13-gram probe).
+    """
+    sig = _signal_exprs(text_col, required_stopwords)
+    out = docs.select(F.col(id_col),
+                      *[c.alias(n) for n, c in sig.items()])
+    named = {n: F.col(n) for n in sig}
+    rules = _rule_exprs(min_words, max_words, min_mean_word_len,
+                        max_mean_word_len, max_symbol_word_ratio,
+                        max_bullet_line_frac, max_ellipsis_line_frac,
+                        min_alpha_word_frac, min_required_hits, named)
+    passes = None
     for name, cond in rules.items():
         out = out.withColumn(name, cond.cast("int"))
-    passes = None
-    for name in rules:
         c = F.col(name) == 1
         passes = c if passes is None else (passes & c)
     return out.withColumn("passes_gopher", passes.cast("int"))
+
+
+def gopher_filter(docs: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text",
+                  **thresholds) -> DataFrame:
+    """Keep only docs passing EVERY Table A1 rule — as one join-free
+    codegen'd filter over the input (all other columns preserved), the
+    shape a funnel stage wants at 10^12 docs. ``thresholds`` accepts
+    the same keyword arguments as :func:`gopher_quality_signals`.
+    """
+    kw = dict(min_words=50, max_words=100_000,
+              min_mean_word_len=3.0, max_mean_word_len=10.0,
+              max_symbol_word_ratio=0.1, max_bullet_line_frac=0.9,
+              max_ellipsis_line_frac=0.3, min_alpha_word_frac=0.8,
+              required_stopwords=REQUIRED_STOPWORDS,
+              min_required_hits=2)
+    unknown = set(thresholds) - set(kw)
+    if unknown:
+        raise TypeError(f"unknown gopher thresholds: {sorted(unknown)}")
+    kw.update(thresholds)
+    required = kw.pop("required_stopwords")
+    sig = _signal_exprs(text_col, required)
+    rules = _rule_exprs(**kw, sig=sig)
+    passes = None
+    for cond in rules.values():
+        passes = cond if passes is None else (passes & cond)
+    return docs.filter(passes)

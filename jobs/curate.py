@@ -92,6 +92,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="> 0 with --dsir-target: keep only the K most "
                         "target-like surviving docs")
     p.add_argument("--dsir-buckets", type=int, default=1 << 16)
+    p.add_argument("--gopher-rules", action="store_true",
+                   help="after the quality gate, apply the full Gopher "
+                        "Table A1 document rules as a join-free filter "
+                        "(operators/gopherquality.py)")
+    p.add_argument("--gopher-min-words", type=int, default=50)
+    p.add_argument("--gopher-min-stopwords", type=int, default=2)
+    p.add_argument("--lm-target", default=None,
+                   help="parquet dir of trusted docs; enables the "
+                        "CCNet-style perplexity gate (operators/lm.py)")
+    p.add_argument("--lm-max-mean-nll", type=int, default=0,
+                   help="keep docs with mean NLL ≤ this (integer "
+                        "micro-nats); required with --lm-target")
+    p.add_argument("--lm-buckets", type=int, default=1 << 14)
     p.add_argument("--redact-pii", action="store_true",
                    help="final stage: replace emails/IPv4s/phone "
                         "numbers in the surviving text with class "
@@ -110,6 +123,8 @@ def _fingerprint(args: argparse.Namespace) -> str:
             "max_dup_frac", "gopher_w", "contam_n", "para_w",
             "exact_substr_len", "sample_strata", "sample_budget",
             "url_col", "max_per_host", "redact_pii", "embeddings",
+            "gopher_rules", "gopher_min_words", "gopher_min_stopwords",
+            "lm_target", "lm_max_mean_nll", "lm_buckets",
             "emb_id_col", "emb_vec_col", "semantic_threshold",
             "semantic_cells", "dsir_target", "dsir_k", "dsir_buckets")},
         sort_keys=True)
@@ -177,8 +192,32 @@ def main(argv: list[str] | None = None) -> int:
         quality = staged("quality", lambda: quality_gate(
             base.select(idc, txc), args.min_tokens, args.max_dup_frac,
             args.gopher_w, idc, txc))
+        gate = quality
+        if args.gopher_rules:
+            from duplicate_finder_spark.operators.gopherquality import (
+                gopher_filter)
+            gate = staged("gopher_rules", lambda inner=gate:
+                          gopher_filter(
+                              inner, idc, txc,
+                              min_words=args.gopher_min_words,
+                              min_required_hits=args.gopher_min_stopwords))
+        if args.lm_target:
+            if args.lm_max_mean_nll <= 0:
+                print("--lm-target requires --lm-max-mean-nll > 0",
+                      file=sys.stderr)
+                return 2
+            from duplicate_finder_spark.operators.lm import lm_score
+            tgt = spark.read.parquet(args.lm_target)
+            def _lm(inner=gate):
+                keep = (lm_score(inner, tgt.select(idc, txc),
+                                 args.lm_buckets, idc, txc)
+                        .filter(F.col("mean_nll_micro")
+                                <= args.lm_max_mean_nll)
+                        .select(idc))
+                return inner.join(keep, idc, "semi")
+            gate = staged("lm_filtered", _lm)
         decon = staged("decontaminated", lambda: decontaminate(
-            quality, ev.select(idc, txc), args.contam_n, idc, txc))
+            gate, ev.select(idc, txc), args.contam_n, idc, txc))
         para = staged("para_deduped", lambda: paragraph_dedup_apply(
             decon, args.para_w, idc, txc)
             .withColumnRenamed("clean_text", txc))

@@ -170,3 +170,73 @@ def test_eval_split_flags_are_exclusive(tmp_path: Path) -> None:
     assert curate.main(["--input", "x", "--warehouse", "y"]) == 2
     assert curate.main(["--input", "x", "--warehouse", "y",
                         "--eval-input", "e", "--eval-mod", "10"]) == 2
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_curate_job_gopher_and_lm_gates(spark, tmp_path: Path) -> None:
+    """--gopher-rules and --lm-target slot the Table A1 gate and the
+    perplexity gate between quality and decontamination; each stage's
+    row count equals the library composition run in-process."""
+    from pyspark.sql import functions as F
+
+    from duplicate_finder_spark.operators.curation import quality_gate
+    from duplicate_finder_spark.operators.gopherquality import (
+        gopher_filter)
+    from duplicate_finder_spark.operators.lm import lm_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs")
+    tgt = str(tmp_path / "target")
+    docs.write.parquet(inp)
+    docs.filter(F.col("lang") == "fr").write.parquet(tgt)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    wh = str(tmp_path / "wh")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    nll_max = 7_950_000   # ~p70 at sf0.001 — the gate drops the tail
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(REPO / "jobs" / "curate.py"),
+         "--input", inp, "--warehouse", wh,
+         "--eval-mod", "50", "--eval-rem", "7",
+         "--gopher-rules", "--gopher-min-words", "20",
+         "--gopher-min-stopwords", "1",
+         "--lm-target", tgt, "--lm-max-mean-nll", str(nll_max),
+         "--input-id", "docs-v3"],
+        capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    out = json.loads([ln for ln in res.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    stages = {s["stage"]: s["rows"] for s in out["funnel"]}
+    assert [s["stage"] for s in out["funnel"]] == [
+        "quality", "gopher_rules", "lm_filtered", "decontaminated",
+        "para_deduped"]
+
+    train = docs.filter((F.col("doc_id") % 50) != 7) \
+                .select("doc_id", "text")
+    q = quality_gate(train, 20, 0.07, 2)
+    g = gopher_filter(q, min_words=20, min_required_hits=1)
+    kept = (lm_score(g, docs.filter(F.col("lang") == "fr")
+                     .select("doc_id", "text"), 1 << 14)
+            .filter(F.col("mean_nll_micro") <= nll_max))
+    nq, ng, nl = q.count(), g.count(), kept.count()
+    assert (stages["quality"], stages["gopher_rules"],
+            stages["lm_filtered"]) == (nq, ng, nl)
+    # the LM gate is load-bearing at sf0.001 (the gopher gate's drops
+    # are corpus-dependent — oracled at sf0.01 via curation_funnel_full)
+    assert nq >= ng > nl > 0
+
+
+def test_lm_target_requires_threshold(tmp_path: Path) -> None:
+    sys.path.insert(0, str(REPO / "jobs"))
+    import curate
+    assert curate.main(["--input", "x", "--warehouse", "y",
+                        "--eval-mod", "10", "--lm-target", "t"]) == 2

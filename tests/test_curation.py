@@ -60,3 +60,53 @@ def test_funnel_is_monotone(spark, small_pages):
            ("raw", "quality", "decontaminated", "para_deduped")]
     assert seq == sorted(seq, reverse=True)
     assert st["raw"].n_docs > 0
+
+
+def test_optional_gopher_and_lm_stages(spark):
+    import math
+    # docs 1-3 pass length; doc 2 fails the gopher stopword rule
+    # (no required stopword); docs 1,3 reach the LM stage, where doc 3
+    # (bigrams unseen by the target model) scores the uniform NLL and
+    # is cut by a threshold just under it
+    d1 = "the data " * 15              # 30 words, in-model bigrams
+    d2 = "zz qq " * 15                 # no required stopword
+    d3 = "the " + " ".join(f"num{i}" for i in range(29))  # off-model
+    target = spark.createDataFrame([(9, d1)], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, d1), (2, d2), (3, d3)],
+                                 "doc_id long, text string")
+    v = 64
+    out = curation_funnel(
+        docs, F.lit(False), min_tokens=20, max_dup_frac=1.0,
+        gopher_kw=dict(min_words=20, min_required_hits=1),
+        lm_target=target,
+        lm_max_mean_nll=round(1e6 * math.log(v)) - 1, lm_buckets=v)
+    st = {r.stage: r for r in out.collect()}
+    assert [st[s].stage_idx for s in
+            ("raw", "quality", "gopher_rules", "lm_filter",
+             "decontaminated", "para_deduped")] == [0, 1, 2, 3, 4, 5]
+    assert st["quality"].n_docs == 3
+    assert st["gopher_rules"].n_docs == 2     # doc 2 out
+    assert st["lm_filter"].n_docs == 1        # doc 3 out
+    assert st["para_deduped"].n_docs == 1
+
+
+def test_default_funnel_shape_unchanged(spark):
+    txt = "the words here repeat rarely " * 5
+    st = _run(spark, [(1, txt)], min_tokens=20)
+    assert sorted((r.stage_idx, r.stage) for r in st.values()) == [
+        (0, "raw"), (1, "quality"), (2, "decontaminated"),
+        (3, "para_deduped")]
+
+
+def test_gopher_filter_preserves_columns_and_rejects_unknown(spark):
+    import pytest
+    from duplicate_finder_spark.operators.gopherquality import (
+        gopher_filter)
+    docs = spark.createDataFrame(
+        [(1, "the data and the rows", "keepme")],
+        "doc_id long, text string, extra string")
+    out = gopher_filter(docs, min_words=3, min_required_hits=1)
+    assert out.columns == ["doc_id", "text", "extra"]
+    assert out.collect()[0].extra == "keepme"
+    with pytest.raises(TypeError, match="unknown gopher"):
+        gopher_filter(docs, min_wordz=3)
