@@ -69,6 +69,7 @@ from duplicate_finder_spark.operators.importance import dsir_select
 from duplicate_finder_spark.operators.gopherquality import (
     gopher_quality_signals)
 from duplicate_finder_spark.operators.lm import lm_score
+from duplicate_finder_spark.operators.c4 import c4_clean
 from duplicate_finder_spark.operators.semantic import semantic_dedup
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
@@ -1124,6 +1125,42 @@ def q_curation_funnel(spark, sf_dir):
                            para_w=PARA_W)
 
 
+C4_LINE_W = 8   # synthesized line width, words (the corpus has no
+# newline/punctuation structure, so the C4 harness builds it
+# closed-form from doc_id — the same pattern as the codec queries)
+
+
+def q_c4_line_filters(spark, sf_dir):
+    """C4 §2.2 cleanup over pages with synthesized line structure:
+    every 8-word chunk becomes a line, terminal '.' omitted when
+    (doc_id+i) % 7 == 0, ' javascript' injected when % 13 == 5,
+    'lorem ipsum' / '{' pages planted at doc_id % 40 == 3 / % 50 == 11.
+    Line filters drop unterminated/short/boilerplate lines; page gates
+    drop the planted pages and pages with < 2 surviving lines."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    w = C4_LINE_W
+    nl = F.ceil(F.size(toks) / w).cast("int")
+
+    def line(i):
+        body = F.concat_ws(" ", F.slice(toks, i * w + 1, w))
+        js = F.when((F.col("doc_id") + i) % 13 == 5,
+                    F.lit(" javascript")).otherwise(F.lit(""))
+        term = F.when((F.col("doc_id") + i) % 7 == 0,
+                      F.lit("")).otherwise(F.lit("."))
+        return F.concat(body, js, term)
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - 1), line), "\n")
+    synth = (F.when(F.col("doc_id") % 40 == 3,
+                    F.concat(body, F.lit("\nlorem ipsum dolor sit.")))
+             .when(F.col("doc_id") % 50 == 11,
+                   F.concat(body, F.lit("\nvar x = { y: 1 }.")))
+             .otherwise(body))
+    sdocs = docs.select("doc_id", synth.alias("text"))
+    return c4_clean(sdocs, min_line_words=3, min_kept_lines=2)
+
+
 LM_MAX_MEAN_NLL = 8_200_000   # lm_filter keep threshold, micro-nats —
 # ≈ p75 of the gopher-survivor score distribution at sf0.01 (CCNet
 # keeps the low-perplexity head+middle of its ranking)
@@ -1501,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dup_census": q_ngram_dup_census,
         "curation_funnel": q_curation_funnel,
         "curation_funnel_full": q_curation_funnel_full,
+        "c4_line_filters": q_c4_line_filters,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
         "neardup_dedup_apply": q_neardup_dedup_apply,
@@ -2688,6 +2726,65 @@ def oracle_sql() -> dict[str, str]:
                   AND n_required_stopwords >=
                       {GOPHER_MIN_STOPWORD_HITS})::INT AS passes_gopher
           FROM sig
+        """,
+        # full mirror of q_c4_line_filters: same synthesized line
+        # structure (8-word chunks, closed-form punctuation/boilerplate
+        # injections from doc_id) and the same line/page gates
+        "c4_line_filters": r"""
+          WITH words AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents WHERE trim(text) <> ''
+          ), lidx AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, cast(ceil(len(ws)/8.0) AS INT))) AS i
+            FROM words
+          ), lraw AS (
+            SELECT doc_id, i,
+                   array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   || CASE WHEN (doc_id+i) % 13 = 5
+                           THEN ' javascript' ELSE '' END
+                   || CASE WHEN (doc_id+i) % 7 = 0
+                           THEN '' ELSE '.' END AS line
+            FROM lidx
+          ), pages AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS body
+            FROM lraw GROUP BY 1
+          ), synth AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 40 = 3
+                        THEN body || chr(10) || 'lorem ipsum dolor sit.'
+                        WHEN doc_id % 50 = 11
+                        THEN body || chr(10) || 'var x = { y: 1 }.'
+                        ELSE body END AS text
+            FROM pages
+          ), flt AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lns
+            FROM synth
+            WHERE NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')
+          ), k AS (
+            SELECT doc_id, lns,
+              list_filter(lns, l ->
+                (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                 OR ends_with(trim(l), '?') OR ends_with(trim(l), '."')
+                 OR ends_with(trim(l), '!"') OR ends_with(trim(l), '?"'))
+                AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+                AND NOT contains(lower(trim(l)), 'javascript')
+                AND NOT contains(lower(trim(l)), 'lorem ipsum')
+                AND NOT contains(lower(trim(l)), 'cookie policy')
+                AND NOT contains(lower(trim(l)), 'privacy policy')
+                AND NOT contains(lower(trim(l)), 'terms of use')
+                AND NOT contains(lower(trim(l)), 'uses cookies')
+              ) AS kept
+            FROM flt)
+          SELECT doc_id, len(lns)::BIGINT AS n_lines,
+                 len(kept)::BIGINT AS n_kept_lines,
+                 array_to_string(list_transform(kept, l -> trim(l)),
+                                 chr(10)) AS clean_text
+          FROM k WHERE len(kept) >= 2
         """,
         # full mirror of q_lm_perplexity: identical tokenization,
         # sha256-prefix buckets (the dsir_select idiom), (u,b)-keyed
