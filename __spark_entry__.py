@@ -70,6 +70,7 @@ from duplicate_finder_spark.operators.gopherquality import (
     gopher_quality_signals)
 from duplicate_finder_spark.operators.lm import lm_score
 from duplicate_finder_spark.operators.c4 import c4_clean
+from duplicate_finder_spark.operators.packing import pack_sequences
 from duplicate_finder_spark.operators.semantic import semantic_dedup
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
@@ -1125,6 +1126,20 @@ def q_curation_funnel(spark, sf_dir):
                            para_w=PARA_W)
 
 
+SEQ_LEN = 128     # sequence_packing training-sequence length, tokens
+PACK_SHARDS = 8   # independent packing streams (≈ 60 docs each at
+# sf0.01 — plenty of boundary crossings per shard)
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concatenate-and-chunk training-sequence packing map: which
+    fixed-128-token sequence(s) each doc lands in, within 8 hash
+    shards packed independently (the per-output-shard parallelism a
+    real pipeline uses instead of a global token sort)."""
+    return pack_sequences(_docs(spark, sf_dir), SEQ_LEN,
+                          n_shards=PACK_SHARDS)
+
+
 C4_LINE_W = 8   # synthesized line width, words (the corpus has no
 # newline/punctuation structure, so the C4 harness builds it
 # closed-form from doc_id — the same pattern as the codec queries)
@@ -1539,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "curation_funnel_full": q_curation_funnel_full,
         "c4_line_filters": q_c4_line_filters,
+        "sequence_packing": q_sequence_packing,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
         "neardup_dedup_apply": q_neardup_dedup_apply,
@@ -2726,6 +2742,36 @@ def oracle_sql() -> dict[str, str]:
                   AND n_required_stopwords >=
                       {GOPHER_MIN_STOPWORD_HITS})::INT AS passes_gopher
           FROM sig
+        """,
+        # full mirror of q_sequence_packing: sha256-prefix shard
+        # buckets, per-shard running token sums ordered by doc_id,
+        # floor-division sequence indices
+        "sequence_packing": f"""
+          WITH base AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(sha256(
+                        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % {PACK_SHARDS} AS INT) AS shard,
+                   (CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END)::BIGINT AS n_tokens
+            FROM documents
+          ), run AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                     AS end_tok
+            FROM base WHERE n_tokens > 0)
+          SELECT doc_id, shard, n_tokens,
+                 (end_tok - n_tokens)::BIGINT AS start_tok,
+                 CAST(floor((end_tok - n_tokens) / {SEQ_LEN}.0)
+                      AS BIGINT) AS first_seq,
+                 CAST(floor((end_tok - 1) / {SEQ_LEN}.0)
+                      AS BIGINT) AS last_seq,
+                 (floor((end_tok - n_tokens) / {SEQ_LEN}.0)
+                  <> floor((end_tok - 1) / {SEQ_LEN}.0))::INT
+                   AS crosses_boundary
+          FROM run
         """,
         # full mirror of q_c4_line_filters: same synthesized line
         # structure (8-word chunks, closed-form punctuation/boilerplate

@@ -277,3 +277,53 @@ def test_cap_per_host_is_two_phase_and_jvm_only(parquet_pages):
     assert any("_host" in p and "_cell" not in p
                for p in parts), parts                # exact phase 2
     assert "EvalPython" not in plan
+
+
+def test_gopher_and_c4_are_shuffle_and_python_free(parquet_pages):
+    """The Gopher Table A1 gate and the C4 cleanup are pure codegen'd
+    projections/filters: no exchange, no Python eval of any kind —
+    free at any corpus size."""
+    from duplicate_finder_spark.operators.c4 import c4_clean
+    from duplicate_finder_spark.operators.gopherquality import (
+        gopher_filter, gopher_quality_signals)
+    docs = parquet_pages.selectExpr(
+        "cast(xxhash64(url) as long) as doc_id", "text")
+    for df in (gopher_quality_signals(docs),
+               gopher_filter(docs),
+               c4_clean(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_lm_score_broadcasts_both_model_tables(parquet_pages):
+    """lm_score's two count tables (≤ n_buckets rows) must reach the
+    scoring pass as broadcasts — the corpus side never shuffles until
+    the per-doc aggregate, and nothing runs in Python."""
+    from duplicate_finder_spark.operators.lm import lm_score
+    docs = parquet_pages.selectExpr(
+        "cast(xxhash64(url) as long) as doc_id", "text")
+    plan = _plan(lm_score(docs, docs.limit(50), n_buckets=1 << 12))
+    # formatted mode prints each node in the tree AND the detail list
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "EvalPython" not in plan
+    # the only hash exchanges are the doc-id aggregate and the tiny
+    # model-count aggregates — none may carry the text column
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in seg.split("\n")[0]
+
+
+def test_pack_sequences_single_shard_window_exchange(parquet_pages):
+    """The packing map is one hash exchange on the shard key (the
+    per-shard window sort) — no global sort, no Python."""
+    from duplicate_finder_spark.operators.packing import pack_sequences
+    docs = parquet_pages.selectExpr(
+        "cast(xxhash64(url) as long) as doc_id", "text")
+    plan = _plan(pack_sequences(docs, 128, n_shards=16))
+    # exactly ONE exchange node (tree mention + detail mention), and it
+    # hash-partitions on the shard key — never a global range sort
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+    assert "EvalPython" not in plan
