@@ -71,6 +71,10 @@ from duplicate_finder_spark.operators.gopherquality import (
 from duplicate_finder_spark.operators.lm import lm_score
 from duplicate_finder_spark.operators.c4 import c4_clean
 from duplicate_finder_spark.operators.packing import pack_sequences
+from duplicate_finder_spark.operators.imagehash import (
+    image_hashes, image_neardup_pairs)
+from duplicate_finder_spark.operators.audiohash import (
+    audio_hashes, audio_neardup_pairs)
 from duplicate_finder_spark.operators.semantic import semantic_dedup
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
@@ -1126,6 +1130,125 @@ def q_curation_funnel(spark, sf_dir):
                            para_w=PARA_W)
 
 
+IMG_V_MOD = 251   # synthesized cell-value modulus (prime, < 256)
+
+
+def _synth_images(spark, sf_dir):
+    """Deterministic 16×16 PPM per doc: 8×8 grid of 2×2 constant cells,
+    cell value ((src+1)·k²) % 251 with k = gy·8+gx+1 and src = doc_id
+    (quadratic mixing decorrelates the 64-bit hashes across docs — a
+    linear formula was measured at 29,903 hamming≤3 pairs vs this
+    formula's 324), except doc_id % 20 == 1 clones its predecessor
+    byte-for-byte (exact image dup) and % 20 == 2 clones doc_id−2 with
+    ONE perturbed corner cell (near dup — the perturbation shifts the
+    global mean, so which bits flip is decided by the same closed-form
+    arithmetic the DuckDB oracle recomputes)."""
+    import numpy as np
+    import pandas as pd
+    from duplicate_finder_spark.operators.multimodal import encode_ppm
+
+    def synth(batches):
+        gy, gx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        k = (gy * 8 + gx + 1).astype(np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                src = d - 1 if d % 20 == 1 else \
+                    (d - 2 if d % 20 == 2 else d)
+                v = ((src + 1) * k * k) % IMG_V_MOD
+                if d % 20 == 2:
+                    v = v.copy()
+                    v[0, 0] = (src * 7 + 97) % IMG_V_MOD
+                px = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+                img = np.stack([px.astype(np.uint8)] * 3, axis=2)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads})
+
+    return (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+
+
+def q_image_ahash(spark, sf_dir):
+    """Perceptual average hash of every synthesized image through the
+    REAL PPM decode path: integer-exact 8×8 mean-threshold bits packed
+    as a signed 64-bit value. The oracle rebuilds every hash
+    closed-form from doc_id — any decode or hash drift mismatches."""
+    return image_hashes(_synth_images(spark, sf_dir))
+
+
+def q_image_neardup_pairs(spark, sf_dir):
+    """Image near-dup pairs: the SimHash Manku block join over aHashes
+    (hamming ≤ 3, pigeonhole-exact with 4 blocks). Planted exact
+    clones (doc_id % 20 == 1) land at hamming 0; the perturbed-corner
+    plants (% 20 == 2) land wherever the closed-form arithmetic puts
+    them. Oracle = brute-force Hamming over the recomputed hashes."""
+    hashes = image_hashes(_synth_images(spark, sf_dir))
+    return image_neardup_pairs(hashes, PipelineConfig(), n_blocks=4)
+
+
+AUD_Q_MOD = 61    # synthesized window amplitude modulus (8-bit PCM
+# quantum q/128 is a dyadic rational → the float energy comparison in
+# audio_fingerprint64 is EXACT, so the oracle can rebuild every bit in
+# integer arithmetic: 64·q_w ≥ Σq)
+
+
+def _synth_wavs(spark, sf_dir):
+    """Deterministic 8-bit PCM mono WAV per doc: 128 samples = 64
+    2-sample windows of constant amplitude q(w) = (((src+2)·(w+1)²)
+    % 251) % 61, src = doc_id (the double-mod decorrelates window
+    profiles across docs — measured 324 hamming≤3 pairs vs ~1800 for
+    single-mod variants); doc_id % 20 == 1 clones its predecessor
+    exactly, % 20 == 2 clones doc_id−2 with window 0 perturbed to
+    (src·7+43) % 61."""
+    import struct
+
+    import pandas as pd
+
+    def wav_bytes(d: int) -> bytes:
+        src = d - 1 if d % 20 == 1 else (d - 2 if d % 20 == 2 else d)
+        qs = [(((src + 2) * (w + 1) * (w + 1)) % 251) % AUD_Q_MOD
+              for w in range(64)]
+        if d % 20 == 2:
+            qs[0] = (src * 7 + 43) % AUD_Q_MOD
+        data = bytes(128 + q for q in qs for _ in range(2))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                + b"WAVE" + chunks)
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [wav_bytes(int(d)) for d in pdf["doc_id"]]})
+
+    return (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """Energy-profile fingerprint of every synthesized clip through the
+    REAL RIFF/PCM decode: 64 window-vs-clip mean-energy bits packed as
+    a signed 64-bit value. The oracle rebuilds every bit closed-form
+    in integer arithmetic (the dyadic-exactness contract in
+    operators/audiohash.py) — any decode or windowing drift
+    mismatches."""
+    return audio_hashes(_synth_wavs(spark, sf_dir))
+
+
+def q_audio_neardup_pairs(spark, sf_dir):
+    """Audio near-dup pairs: the SimHash Manku block join over energy
+    fingerprints (hamming ≤ 3, pigeonhole-exact with 4 blocks), exact
+    clones planted at doc_id % 20 == 1. Oracle = brute-force Hamming
+    over the closed-form fingerprints."""
+    hashes = audio_hashes(_synth_wavs(spark, sf_dir))
+    return audio_neardup_pairs(hashes, PipelineConfig(), n_blocks=4)
+
+
 SEQ_LEN = 128     # sequence_packing training-sequence length, tokens
 PACK_SHARDS = 8   # independent packing streams (≈ 60 docs each at
 # sf0.01 — plenty of boundary crossings per shard)
@@ -1555,6 +1678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel_full": q_curation_funnel_full,
         "c4_line_filters": q_c4_line_filters,
         "sequence_packing": q_sequence_packing,
+        "image_ahash": q_image_ahash,
+        "image_neardup_pairs": q_image_neardup_pairs,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_neardup_pairs": q_audio_neardup_pairs,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
         "neardup_dedup_apply": q_neardup_dedup_apply,
@@ -2742,6 +2869,158 @@ def oracle_sql() -> dict[str, str]:
                   AND n_required_stopwords >=
                       {GOPHER_MIN_STOPWORD_HITS})::INT AS passes_gopher
           FROM sig
+        """,
+        # closed-form rebuild of q_image_ahash: the synthesized 8×8
+        # cell grid (constant 2×2 blocks, gray = 3·v) makes the bit
+        # test collapse to 64·v ≥ Σv; bits pack MSB-first into a
+        # HUGEINT and wrap to the signed BIGINT two's complement
+        "image_ahash": f"""
+          WITH cells AS (
+            SELECT doc_id, gy, gx, (gy * 8 + gx + 1) AS k,
+                   CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+                        WHEN doc_id % 20 = 2 THEN doc_id - 2
+                        ELSE doc_id END AS src,
+                   (doc_id % 20 = 2 AND gy = 0 AND gx = 0) AS pert
+            FROM documents, range(8) r1(gy), range(8) r2(gx)
+          ), v AS (
+            SELECT doc_id, gy, gx,
+                   CASE WHEN pert THEN (src * 7 + 97) % {IMG_V_MOD}
+                        ELSE ((src + 1) * k * k) % {IMG_V_MOD}
+                   END AS val
+            FROM cells
+          ), s AS (
+            SELECT doc_id, sum(val) AS tot FROM v GROUP BY 1
+          ), bits AS (
+            SELECT v.doc_id, gy, gx, (64 * val >= tot)::INT AS bit
+            FROM v JOIN s USING (doc_id)
+          ), h AS (
+            SELECT doc_id,
+                   sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS HUGEINT) << (63 - (gy * 8 + gx))
+                       ELSE CAST(0 AS HUGEINT) END) AS uh
+            FROM bits GROUP BY 1)
+          SELECT doc_id,
+                 CAST(uh - CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                           THEN CAST(1 AS HUGEINT) << 64
+                           ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                   AS ahash
+          FROM h
+        """,
+        # brute-force Hamming over the SAME recomputed hashes — the
+        # block join must find exactly these pairs (pigeonhole:
+        # hamming ≤ 3 < 4 blocks)
+        "image_neardup_pairs": f"""
+          WITH cells AS (
+            SELECT doc_id, gy, gx, (gy * 8 + gx + 1) AS k,
+                   CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+                        WHEN doc_id % 20 = 2 THEN doc_id - 2
+                        ELSE doc_id END AS src,
+                   (doc_id % 20 = 2 AND gy = 0 AND gx = 0) AS pert
+            FROM documents, range(8) r1(gy), range(8) r2(gx)
+          ), v AS (
+            SELECT doc_id, gy, gx,
+                   CASE WHEN pert THEN (src * 7 + 97) % {IMG_V_MOD}
+                        ELSE ((src + 1) * k * k) % {IMG_V_MOD}
+                   END AS val
+            FROM cells
+          ), s AS (
+            SELECT doc_id, sum(val) AS tot FROM v GROUP BY 1
+          ), bits AS (
+            SELECT v.doc_id, gy, gx, (64 * val >= tot)::INT AS bit
+            FROM v JOIN s USING (doc_id)
+          ), h AS (
+            SELECT doc_id,
+                   sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS HUGEINT) << (63 - (gy * 8 + gx))
+                       ELSE CAST(0 AS HUGEINT) END) AS uh
+            FROM bits GROUP BY 1
+          ), hh AS (
+            SELECT doc_id,
+                   CAST(uh - CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                             THEN CAST(1 AS HUGEINT) << 64
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                     AS ahash
+            FROM h)
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        """,
+        # closed-form rebuild of q_audio_fingerprint: the synthesized
+        # 2-sample constant windows make the dyadic-exact energy test
+        # collapse to 64·q ≥ Σq (integer); same HUGEINT bit packing as
+        # image_ahash
+        "audio_fingerprint": f"""
+          WITH cells AS (
+            SELECT doc_id, w,
+                   CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+                        WHEN doc_id % 20 = 2 THEN doc_id - 2
+                        ELSE doc_id END AS src,
+                   (doc_id % 20 = 2 AND w = 0) AS pert
+            FROM documents, range(64) r(w)
+          ), v AS (
+            SELECT doc_id, w,
+                   CASE WHEN pert THEN (src * 7 + 43) % {AUD_Q_MOD}
+                        ELSE (((src + 2) * (w + 1) * (w + 1)) % 251)
+                             % {AUD_Q_MOD}
+                   END AS q
+            FROM cells
+          ), s AS (
+            SELECT doc_id, sum(q) AS tot FROM v GROUP BY 1
+          ), bits AS (
+            SELECT v.doc_id, w, (64 * q >= tot)::INT AS bit
+            FROM v JOIN s USING (doc_id)
+          ), h AS (
+            SELECT doc_id,
+                   sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS HUGEINT) << (63 - w)
+                       ELSE CAST(0 AS HUGEINT) END) AS uh
+            FROM bits GROUP BY 1)
+          SELECT doc_id,
+                 CAST(uh - CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                           THEN CAST(1 AS HUGEINT) << 64
+                           ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                   AS ahash
+          FROM h
+        """,
+        # brute-force Hamming over the same recomputed fingerprints
+        "audio_neardup_pairs": f"""
+          WITH cells AS (
+            SELECT doc_id, w,
+                   CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+                        WHEN doc_id % 20 = 2 THEN doc_id - 2
+                        ELSE doc_id END AS src,
+                   (doc_id % 20 = 2 AND w = 0) AS pert
+            FROM documents, range(64) r(w)
+          ), v AS (
+            SELECT doc_id, w,
+                   CASE WHEN pert THEN (src * 7 + 43) % {AUD_Q_MOD}
+                        ELSE (((src + 2) * (w + 1) * (w + 1)) % 251)
+                             % {AUD_Q_MOD}
+                   END AS q
+            FROM cells
+          ), s AS (
+            SELECT doc_id, sum(q) AS tot FROM v GROUP BY 1
+          ), bits AS (
+            SELECT v.doc_id, w, (64 * q >= tot)::INT AS bit
+            FROM v JOIN s USING (doc_id)
+          ), h AS (
+            SELECT doc_id,
+                   sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS HUGEINT) << (63 - w)
+                       ELSE CAST(0 AS HUGEINT) END) AS uh
+            FROM bits GROUP BY 1
+          ), hh AS (
+            SELECT doc_id,
+                   CAST(uh - CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                             THEN CAST(1 AS HUGEINT) << 64
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                     AS ahash
+            FROM h)
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         """,
         # full mirror of q_sequence_packing: sha256-prefix shard
         # buckets, per-shard running token sums ordered by doc_id,

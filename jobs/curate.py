@@ -138,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
         print("exactly one of --eval-input / --eval-mod is required",
               file=sys.stderr)
         return 2
+    if args.lm_target and args.lm_max_mean_nll <= 0:
+        print("--lm-target requires --lm-max-mean-nll > 0",
+              file=sys.stderr)
+        return 2
 
     spark = (SparkSession.builder
              .appName("duplicate-finder-spark:curate")
@@ -202,10 +206,6 @@ def main(argv: list[str] | None = None) -> int:
                               min_words=args.gopher_min_words,
                               min_required_hits=args.gopher_min_stopwords))
         if args.lm_target:
-            if args.lm_max_mean_nll <= 0:
-                print("--lm-target requires --lm-max-mean-nll > 0",
-                      file=sys.stderr)
-                return 2
             from duplicate_finder_spark.operators.lm import lm_score
             tgt = spark.read.parquet(args.lm_target)
             def _lm(inner=gate):
