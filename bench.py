@@ -38,6 +38,7 @@ HEADLINE = [
     "dsir_select",
     "gopher_quality_filter",
     "lm_perplexity",
+    "image_neardup_pairs",
 ]
 
 
