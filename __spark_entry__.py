@@ -75,6 +75,8 @@ from duplicate_finder_spark.operators.imagehash import (
     image_hashes, image_neardup_pairs)
 from duplicate_finder_spark.operators.audiohash import (
     audio_hashes, audio_neardup_pairs)
+from duplicate_finder_spark.operators.videohash import (
+    video_frame_hashes, video_neardup_pairs)
 from duplicate_finder_spark.operators.semantic import semantic_dedup
 from duplicate_finder_spark.operators.simhash import simhash, simhash_pairs
 
@@ -1249,6 +1251,68 @@ def q_audio_neardup_pairs(spark, sf_dir):
     return audio_neardup_pairs(hashes, PipelineConfig(), n_blocks=4)
 
 
+VID_FRAMES = 6    # synthesized frames per video
+VID_JACCARD = 0.45
+
+
+def _synth_avis(spark, sf_dir):
+    """Deterministic RIFF/AVI per doc whose movi ``00dc`` chunks carry
+    16×16 PPM frames (the container walk returns raw payloads, so
+    frame decode exercises the PPM path with closed-form pixels).
+    Frame f cell k∈[1,64] value = (((src+1)·(64f+k)²) % 1009) % 251 —
+    the 1009 > 500 inner prime prevents src wrap collisions. Plants:
+    doc_id % 20 == 1 clones its predecessor (Jaccard 1.0); % 20 == 2
+    takes doc_id−2's frames 0-3 plus its own 4-5 (Jaccard 0.5 with
+    both members of the preceding pair). Measured at sf0.01: every
+    video has 6 distinct frame hashes, 25 exact + 50 near pairs, zero
+    background pairs at τ=0.45."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from duplicate_finder_spark.operators.multimodal import encode_ppm
+
+    def frame_ppm(src: int, f: int) -> bytes:
+        gy, gx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        k = (64 * f + gy * 8 + gx + 1).astype(np.int64)
+        v = (((src + 1) * k * k) % 1009) % IMG_V_MOD
+        px = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+        return encode_ppm(np.stack([px.astype(np.uint8)] * 3, axis=2))
+
+    def avi_bytes(d: int) -> bytes:
+        src = d - 1 if d % 20 == 1 else (d - 2 if d % 20 == 2 else d)
+        frames = [frame_ppm(src, f) for f in range(VID_FRAMES)]
+        if d % 20 == 2:
+            frames[4] = frame_ppm(d, 4)
+            frames[5] = frame_ppm(d, 5)
+        chunks = b"".join(
+            b"00dc" + struct.pack("<I", len(p)) + p + (b"\0" * (len(p) & 1))
+            for p in frames)
+        movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" \
+            + chunks
+        return b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [avi_bytes(int(d)) for d in pdf["doc_id"]]})
+
+    return (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+
+
+def q_video_neardup_pairs(spark, sf_dir):
+    """Video near-dup via frame-hash set Jaccard: real AVI container
+    walk → real PPM frame decode → per-frame aHash (fused in one
+    Arrow pass) → inverted-index join on the 8-byte hashes. The oracle
+    rebuilds every frame hash closed-form and brute-forces the Jaccard
+    pair set (25 exact + 50 near plants at sf0.01)."""
+    hashes = video_frame_hashes(_synth_avis(spark, sf_dir),
+                                max_frames=16)
+    return video_neardup_pairs(hashes, min_jaccard=VID_JACCARD)
+
+
 SEQ_LEN = 128     # sequence_packing training-sequence length, tokens
 PACK_SHARDS = 8   # independent packing streams (≈ 60 docs each at
 # sf0.01 — plenty of boundary crossings per shard)
@@ -1682,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup_pairs": q_image_neardup_pairs,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_neardup_pairs": q_audio_neardup_pairs,
+        "video_neardup_pairs": q_video_neardup_pairs,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_apply": q_exact_substr_apply,
         "neardup_dedup_apply": q_neardup_dedup_apply,
@@ -3021,6 +3086,66 @@ def oracle_sql() -> dict[str, str]:
                  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
           FROM hh a JOIN hh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        """,
+        # closed-form rebuild of q_video_neardup_pairs: per-frame cell
+        # grids → frame aHashes (same HUGEINT packing), per-video
+        # DISTINCT hash sets, df-cut inverted-index Jaccard
+        "video_neardup_pairs": f"""
+          WITH cells AS (
+            SELECT doc_id, f, (64 * f + gy * 8 + gx + 1) AS k,
+                   CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+                        WHEN doc_id % 20 = 2 AND f < 4 THEN doc_id - 2
+                        ELSE doc_id END AS src
+            FROM documents, range({VID_FRAMES}) r0(f),
+                 range(8) r1(gy), range(8) r2(gx)
+          ), v AS (
+            SELECT doc_id, f, k,
+                   (((src + 1) * k * k) % 1009) % {IMG_V_MOD} AS val
+            FROM cells
+          ), s AS (
+            SELECT doc_id, f, sum(val) AS tot FROM v GROUP BY 1, 2
+          ), bits AS (
+            SELECT v.doc_id, v.f, k, (64 * val >= tot)::INT AS bit
+            FROM v JOIN s USING (doc_id, f)
+          ), h AS (
+            SELECT doc_id, f,
+                   sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS HUGEINT) << (63 - ((k - 1) % 64))
+                       ELSE CAST(0 AS HUGEINT) END) AS uh
+            FROM bits GROUP BY 1, 2
+          ), hh AS (
+            SELECT doc_id,
+                   CAST(uh - CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                             THEN CAST(1 AS HUGEINT) << 64
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                     AS ahash
+            FROM h
+          ), fh AS (
+            SELECT DISTINCT doc_id, ahash FROM hh
+          ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM fh GROUP BY 1
+          ), rare AS (
+            SELECT ahash FROM (
+              SELECT ahash, count(*) AS df FROM fh GROUP BY 1)
+            WHERE df <= 1000
+          ), fhr AS (
+            SELECT doc_id, ahash FROM fh JOIN rare USING (ahash)
+          ), shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM fhr a JOIN fhr b
+              ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ), j AS (
+            SELECT id_a, id_b, n_shared,
+                   round(n_shared * 1.0 / (na.n + nb.n - n_shared), 6)
+                     AS jaccard
+            FROM shared
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b)
+          SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+                 n_shared::BIGINT AS n_shared, jaccard
+          FROM j WHERE jaccard >= {VID_JACCARD}
         """,
         # full mirror of q_sequence_packing: sha256-prefix shard
         # buckets, per-shard running token sums ordered by doc_id,
