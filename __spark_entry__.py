@@ -1592,7 +1592,10 @@ def _host_pages(spark, sf_dir):
 def q_host_corpus_stats(spark, sf_dir):
     """Corpus composition by url host (operators/domains.py) — the
     accounting view a source-balancing pass reads. One combinable
-    groupBy; the rank window runs over one-row-per-host only."""
+    groupBy; the rank is the scale-safe parallel global_rank
+    (functions/ranks.py: range-partition + partition-offset cumsum),
+    oracled here value-for-value against DuckDB's single-reducer
+    row_number() OVER (ORDER BY ...)."""
     from duplicate_finder_spark.operators.domains import host_stats
     return host_stats(_host_pages(spark, sf_dir)) \
         .withColumn("n_docs_rank", F.col("n_docs_rank").cast("long"))

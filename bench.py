@@ -39,6 +39,7 @@ HEADLINE = [
     "gopher_quality_filter",
     "lm_perplexity",
     "image_neardup_pairs",
+    "video_neardup_pairs",
 ]
 
 

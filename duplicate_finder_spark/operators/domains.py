@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from duplicate_finder_spark.functions.ranks import global_rank
+
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#:]+)"
 
 
@@ -47,16 +49,23 @@ def host_stats(pages: DataFrame, url_col: str = "url",
                text_col: str = "text") -> DataFrame:
     """→ (host, n_docs, n_chars, n_docs_rank) — corpus composition.
 
-    One map-side-combinable groupBy; the rank window runs over the
-    aggregated (tiny: one row per host) table only.
+    One map-side-combinable groupBy. The rank runs over the aggregated
+    table (one row per host) — SMALLER than the corpus but not small:
+    10^12 pages have ~10^8 hosts, so a plain global row_number window
+    would drag the whole host table through one reducer. global_rank
+    (functions/ranks.py) computes the identical numbering in parallel
+    via range-partition + per-partition offsets; (n_docs desc, host)
+    is a total order (host unique post-groupBy), so the output equals
+    the naive window value-for-value — the oracle asserts it against
+    DuckDB's global row_number().
     """
     agg = (pages.select(host_of(url_col).alias("host"),
                         F.length(text_col).alias("_len"))
            .groupBy("host")
            .agg(F.count("*").alias("n_docs"),
                 F.sum("_len").alias("n_chars")))
-    w = Window.orderBy(F.desc("n_docs"), F.asc("host"))
-    return agg.withColumn("n_docs_rank", F.row_number().over(w))
+    return global_rank(agg, [F.desc("n_docs"), F.asc("host")],
+                       out_col="n_docs_rank")
 
 
 def cap_per_host(pages: DataFrame, max_per_host: int,
