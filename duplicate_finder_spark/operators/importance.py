@@ -38,9 +38,10 @@ Scale shape (10^12 raw docs, small target):
   sum is order-independent, so the score is bit-identical across
   partitionings, engines, and reruns — the same determinism contract
   as the sampling operators (operators/sampling.py);
-* top-k plans as TakeOrderedAndProject (per-partition heaps, only k
-  rows reach the driver-side merge), and the fractional variant is a
-  single window rank over the scored table.
+* report-sized top-k plans as TakeOrderedAndProject (per-partition
+  heaps, only k rows reach the driver-side merge); selection-sized k
+  (billions kept) switches to the fully parallel ``global_rank`` +
+  filter path — see ``dsir_select``.
 """
 
 from __future__ import annotations
@@ -146,7 +147,8 @@ def dsir_weights(raw: DataFrame, ratios: DataFrame,
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,
                 n_buckets: int = 1 << 16, alpha: float = 1.0,
                 gumbel_seed: int | None = None,
-                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                id_col: str = "doc_id", text_col: str = "text",
+                topk_path_max_k: int = 100_000) -> DataFrame:
     """→ (id, n_feats, weight_micro, rank): the ``k`` raw docs most
     resembling ``target``.
 
@@ -156,6 +158,22 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     xxhash64(id, seed) — the paper's importance RESAMPLING (without
     noise, top-k over-selects the mode of the target distribution);
     deterministic per seed, Spark-side contract only.
+
+    Two physical paths, identical output (order includes the unique
+    ``id_col`` tie-break, so the ranking is a total order):
+
+    * ``k ≤ topk_path_max_k``: orderBy+limit — plans as
+      TakeOrderedAndProject (per-partition heaps, k rows to the
+      driver-side merge), then a window re-derives rank over the k
+      kept rows only. Cheapest when k is report-sized, but both the
+      driver merge and the rank window hold all k rows in ONE place.
+    * ``k > topk_path_max_k``: a pretraining selection pass keeps
+      billions of rows ("top 30% of the crawl"), which no driver heap
+      or single reducer survives — rank the FULL scored table with
+      ``global_rank`` (functions/ranks.py: range-partition +
+      broadcast partition offsets, fully parallel) and filter
+      ``rank ≤ k``. Two parallel exchanges of one-row-per-doc scores,
+      zero driver involvement, any k.
     """
     w = dsir_weights(raw, dsir_log_ratios(raw, target, n_buckets, alpha,
                                           id_col, text_col),
@@ -168,13 +186,13 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
         w = w.withColumn("_g",
                          F.col("weight_micro") / 1e6 - F.log(-F.log(u)))
         order = [F.desc("_g"), F.asc(id_col)]
-    rank = F.row_number().over(Window.orderBy(*order))
-    # global window over the scored table (one row per doc, integer
-    # weights) — for k ≪ N prefer the orderBy+limit path below, which
-    # plans as TakeOrderedAndProject; the window variant keeps ranks
-    # for the full audit trail. We keep only top-k, so use sort+limit
-    # and re-derive rank positionally for determinism.
-    out = (w.orderBy(*order).limit(k)
-           .withColumn("rank", rank))
+    if k <= topk_path_max_k:
+        rank = F.row_number().over(Window.orderBy(*order))
+        out = (w.orderBy(*order).limit(k)
+               .withColumn("rank", rank))
+    else:
+        from duplicate_finder_spark.functions.ranks import global_rank
+        out = (global_rank(w, order, out_col="rank")
+               .filter(F.col("rank") <= k))
     return out.select(id_col, "n_feats", "weight_micro",
                       F.col("rank").cast("long").alias("rank"))

@@ -57,6 +57,44 @@ def test_gumbel_variant_is_seed_deterministic(spark):
     assert [r["rank"] for r in a] == [1, 2, 3, 4, 5]
 
 
+def test_large_k_parallel_path_equals_topk_path(spark):
+    """Forcing the global_rank path (topk_path_max_k=0) must reproduce
+    the TakeOrderedAndProject path row-for-row, ranks included — the
+    order tuple carries the unique id tie-break, so both paths walk
+    the same total order."""
+    target = _docs(spark, [(100, "common words here")])
+    raw = _docs(spark, [(i, f"common words doc {i}") for i in range(40)])
+    small = dsir_select(raw, target, k=25, n_buckets=1 << 10)
+    large = dsir_select(raw, target, k=25, n_buckets=1 << 10,
+                        topk_path_max_k=0)
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, large.collect()))
+    # gumbel variant too (spark-side determinism contract)
+    g_small = dsir_select(raw, target, k=10, n_buckets=1 << 10,
+                          gumbel_seed=3)
+    g_large = dsir_select(raw, target, k=10, n_buckets=1 << 10,
+                          gumbel_seed=3, topk_path_max_k=0)
+    assert sorted(map(tuple, g_small.collect())) == \
+        sorted(map(tuple, g_large.collect()))
+
+
+def test_large_k_path_plan_is_parallel(spark):
+    """The selection-sized path must range-partition (parallel total
+    order) and contain NO unpartitioned window and NO
+    TakeOrderedAndProject (no driver-side k-row heap)."""
+    target = _docs(spark, [(100, "x y z")])
+    raw = _docs(spark, [(i, f"x y doc {i}") for i in range(10)])
+    out = dsir_select(raw, target, k=5, n_buckets=1 << 10,
+                      topk_path_max_k=0)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in phys, phys
+    assert "TakeOrderedAndProject" not in phys, phys
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    for ln in opt.splitlines():
+        if "Window [" in ln and "_gr_pid" in ln:
+            assert "windowspecdefinition(_gr_pid" in ln, ln
+
+
 def test_select_plan_is_topk_and_jvm_only(spark):
     """Scale claims: the global selection plans as
     TakeOrderedAndProject (per-partition heaps, k rows to the driver
