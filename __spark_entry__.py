@@ -66,6 +66,8 @@ from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
 from duplicate_finder_spark.operators.importance import dsir_select
+from duplicate_finder_spark.operators.bpe import (bpe_train, encode_stats,
+                                                  word_counts)
 from duplicate_finder_spark.operators.gopherquality import (
     gopher_quality_signals)
 from duplicate_finder_spark.operators.lm import lm_score
@@ -272,6 +274,48 @@ def q_token_stats_bpe(spark, sf_dir):
         "doc_id",
         bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
         F.round(stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"))
+
+
+BPE_N_MERGES = 6   # unrolled stage count in the DuckDB oracle chain
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    """Learned merge rows over sf_dir's documents, memoized — training
+    runs one driver argmax per merge, and both BPE queries replay the
+    same tokenizer."""
+    rows = _BPE_MERGES_CACHE.get(sf_dir)
+    if rows is None:
+        wc = word_counts(_docs(spark, sf_dir))
+        rows = bpe_train(wc, BPE_N_MERGES).orderBy("merge_rank").collect()
+        _BPE_MERGES_CACHE[sf_dir] = rows
+    return rows
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): collapse
+    the corpus to its distinct-word table (one combinable pass), then
+    learn BPE_N_MERGES merges by iterated weighted pair-count argmax
+    with the (count desc, left asc, right asc) tie-break. All JVM
+    expression algebra; the oracle recomputes the identical merge
+    sequence in DuckDB via an unrolled CTE chain (the double-space
+    canonical-string replace trick reproduces BPE's greedy
+    left-to-right within-word merge order in both engines)."""
+    rows = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "merge_rank long, left string, right string, "
+              "merged string, pair_count long")
+
+
+def q_bpe_encode_stats(spark, sf_dir):
+    """Per-doc token accounting under the learned BPE tokenizer
+    (operators/bpe.py encode_stats): distinct words are encoded once
+    through the merge list (chained JVM replaces), then joined back to
+    the exploded corpus — model-token counts for budget sampling and
+    packing. Docs with no ASCII-printable words report 0/0."""
+    rows = _bpe_merges(spark, sf_dir)
+    merges = [(r["left"], r["right"]) for r in rows]
+    return encode_stats(_docs(spark, sf_dir), merges)
 
 
 def q_quality_scores(spark, sf_dir):
@@ -1698,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "token_stats": q_token_stats,
         "token_stats_bpe": q_token_stats_bpe,
+        "bpe_train_merges": q_bpe_train_merges,
+        "bpe_encode_stats": q_bpe_encode_stats,
         "quality_scores": q_quality_scores,
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
@@ -1921,6 +1967,50 @@ _PUNCT = (r"CASE WHEN length(text) = 0 THEN 0.0 "
           r"ELSE (length(text) - length(regexp_replace(text, "
           r"'[^0-9A-Za-z\s]', '', 'g'))) * 1.0 / length(text) END")
 
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """DuckDB mirror of operators/bpe.py bpe_train, unrolled: word
+    counts (same tokenization + ASCII filter as word_counts), then per
+    merge i a pair-count CTE p{i}, a 1-row argmax b{i} with the
+    (count desc, left, right) tie-break, and the merged word table
+    w{i+1} via the double-space canonical-string replace — whose
+    left-to-right non-overlapping semantics equal Spark's F.replace,
+    so the chains agree word-for-word. Returns the WITH prefix ending
+    at w{n_merges}.
+
+    Every stage CTE is AS MATERIALIZED: each w{{i+1}} references w{{i}}
+    and b{{i}} several times, so DuckDB's default CTE inlining expands
+    the chain exponentially (~4^n copies of w0 — the un-materialized
+    query never finishes at n=6)."""
+    ctes = [r"""tok AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           FROM documents WHERE trim(text) <> ''),
+         wc AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS cnt FROM tok
+           WHERE regexp_matches(word, '^[\x21-\x7e]+$') GROUP BY word),
+         w0 AS MATERIALIZED (
+           SELECT word, ' ' || array_to_string(string_split(word, ''),
+                  '  ') || ' ' AS s, cnt FROM wc)"""]
+    for i in range(n_merges):
+        ctes.append(f"""
+         p{i} AS MATERIALIZED (
+           SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS c FROM (
+             SELECT unnest([{{'l': syms[j], 'r': syms[j+1]}}
+                            for j in generate_series(1, len(syms)-1)])
+                      AS pr, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS syms, cnt
+                   FROM w{i})
+           ) GROUP BY 1, 2),
+         b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i}
+                  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         w{i + 1} AS MATERIALIZED (
+           SELECT word, replace(s,
+             ' ' || (SELECT l FROM b{i}) || '  '
+                 || (SELECT r FROM b{i}) || ' ',
+             ' ' || (SELECT l || r FROM b{i}) || ' ') AS s, cnt
+           FROM w{i})""")
+    return "WITH " + ",".join(ctes)
+
 _COS_SIM = """
   round(
     list_sum([qv[i] * nv[i] for i in range(1, len(qv) + 1)]) /
@@ -2099,6 +2189,28 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(trim(text), '\s+')) END, 6)
                    AS stopword_ratio_en
           FROM documents
+        """,
+        "bpe_train_merges": _bpe_chain_sql(BPE_N_MERGES) + " " + " UNION ALL ".join(
+            f'SELECT {i + 1}::BIGINT AS merge_rank, l AS "left", '
+            f'r AS "right", l || r AS merged, c::BIGINT AS pair_count '
+            f'FROM b{i}' for i in range(BPE_N_MERGES)),
+        "bpe_encode_stats": _bpe_chain_sql(BPE_N_MERGES) + f""",
+          enc AS (SELECT word, len(string_split(trim(s), '  '))::BIGINT
+                         AS n_bpe
+                  FROM w{BPE_N_MERGES}),
+          dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+                        '\\s+')) AS word
+                 FROM documents WHERE trim(text) <> ''),
+          agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+                         sum(n_bpe)::BIGINT AS n_bpe_tokens
+                  FROM dw JOIN enc USING (word)
+                  WHERE regexp_matches(word, '^[\\x21-\\x7e]+$')
+                  GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(a.n_words, 0)::BIGINT AS n_words,
+                 coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN agg a USING (doc_id)
         """,
         "quality_scores": f"""
           SELECT doc_id, round((

@@ -1,0 +1,202 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+arXiv:1508.07909) — pure JVM expression algebra, no Python UDFs.
+
+Every web-scale pretraining pipeline trains a subword tokenizer over
+(a sample of) the deduplicated corpus before token counting, packing,
+and budget sampling make sense in *model* tokens rather than
+whitespace words. This module adds that stage with the same engine
+contract as the rest of the repo: deterministic, DuckDB-oracle-able,
+and shaped for 10^12 documents.
+
+Algorithm (classic weighted-vocabulary BPE):
+
+1. ``word_counts`` collapses the corpus to its DISTINCT-WORD table
+   ``(word, cnt)`` — ONE corpus pass, a map-side-combinable groupBy
+   whose shuffle is bounded by the number of distinct words (~10^7-8
+   for web text), not by corpus size. Every training iteration after
+   this touches only the word table: the standard trick that makes
+   BPE tractable at any corpus scale.
+2. ``bpe_train`` represents each word as a canonical symbol string
+   (symbols joined by TWO spaces, one space at each end — see below)
+   and repeats ``n_merges`` times: count adjacent symbol pairs
+   weighted by word count (explode → combinable groupBy, shuffle
+   bounded by distinct pairs), take the global argmax with the
+   deterministic tie-break (count desc, left asc, right asc) via
+   orderBy+limit(1) — plans as TakeOrderedAndProject, ONE row reaches
+   the driver per iteration (the merge list is inherently sequential;
+   this is the algorithm's data dependence, not a scalability
+   shortcut) — then applies the merge as a single JVM ``replace`` map
+   pass and re-persists the word table (previous round unpersisted).
+3. ``bpe_apply`` / ``encode_stats`` replay the learned merge list (a
+   driver-side list of ≤ a few thousand rows) as chained ``replace``
+   expressions over the distinct-word table, then join words back to
+   documents — the corpus is encoded via its vocabulary, never
+   re-segmented row by row.
+
+Canonical symbol-string trick: a word's symbols are joined with a
+DOUBLE space and wrapped in single spaces, e.g. ``low`` →
+``" l  o  w "``. Applying merge (a,b) is then the plain (non-regex)
+global replace ``" a  b "`` → ``" ab "``: each match consumes one of
+the two boundary spaces on each side, leaving the other for the
+neighboring match, so left-to-right non-overlapping replacement —
+the semantics of both Spark's ``replace`` and DuckDB's ``replace`` —
+is EXACTLY BPE's greedy left-to-right within-word merge order
+(e.g. ``a a a`` + merge (a,a) → ``aa a``, and ``a a a a`` → ``aa aa``).
+Words are whitespace tokens so symbols can never contain a space.
+
+End-of-word handling: merges apply within words only and no explicit
+end-of-word marker symbol is appended (the boundary spaces already
+prevent cross-word merges); a marker variant would only re-label the
+symbols, not change the mechanics.
+
+Determinism: counts are integers, the tie-break is total on (cnt,
+left, right), and replacement order within a word is specified —
+bit-identical output across partitionings, engines, and reruns. The
+driver oracle recomputes the full merge sequence in DuckDB SQL
+(unrolled stages) and must match value-for-value.
+
+Unicode caveat: Spark splits strings into UTF-16 code units while
+DuckDB splits UTF-8 code points, so astral-plane characters (emoji)
+would char-split differently; callers that need oracle parity filter
+the vocabulary to an ASCII-safe alphabet (``word_filter``). The
+operator itself is alphabet-agnostic.
+
+No counterpart in the reference (duplicate_finder.py hashes bytes);
+this is part of the LLM-pipeline brief, alongside token_stats
+(functions/text.py) whose whitespace tokenization it reuses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.functions.text import tokens
+
+__all__ = ["word_counts", "bpe_train", "bpe_apply", "encode_stats",
+           "ASCII_PRINTABLE"]
+
+#: words made only of printable non-space ASCII — the oracle-parity
+#: alphabet (see module docstring).
+ASCII_PRINTABLE = r"^[\x21-\x7e]+$"
+
+_MERGE_SCHEMA = ("merge_rank long, left string, right string, "
+                 "merged string, pair_count long")
+
+
+def word_counts(docs: DataFrame, text_col: str = "text",
+                word_filter: str | None = ASCII_PRINTABLE) -> DataFrame:
+    """→ (word, cnt): the corpus collapsed to its distinct-word table.
+
+    One combinable groupBy; the only pass over the full corpus in the
+    whole training flow."""
+    w = docs.select(F.explode(tokens(text_col)).alias("word"))
+    if word_filter:
+        w = w.filter(F.col("word").rlike(word_filter))
+    return w.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def _canon(word_col):
+    """word → canonical symbol string: chars joined by '  ', wrapped
+    in single spaces ('low' → ' l  o  w ')."""
+    return F.concat(F.lit(" "),
+                    F.array_join(F.split(word_col, ""), "  "),
+                    F.lit(" "))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(s, cnt) → (left, right, cnt): adjacent-symbol pair counts,
+    weighted by word count. Combinable; shuffle bounded by distinct
+    pairs."""
+    syms = F.split(F.trim("s"), "  ")
+    n = F.size(syms)
+    pairs = F.when(n > 1, F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("left"),
+        F.slice(syms, 2, n - 1).alias("right"))) \
+        .otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    return (words.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy(F.col("p.left").alias("left"),
+                     F.col("p.right").alias("right"))
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the (word, cnt) table.
+
+    → (merge_rank, left, right, merged, pair_count), merge_rank
+    1-based in learn order. Stops early (fewer rows) when no pair is
+    left to merge. Each iteration: one bounded pair-count shuffle, a
+    1-row TakeOrderedAndProject argmax, one replace map pass; the
+    word table is re-persisted per round and the previous round
+    unpersisted, so lineage is cut at each materialized cache.
+    """
+    spark = words.sparkSession
+    cur = words.select(_canon(F.col("word")).alias("s"), "cnt").persist()
+    cur.count()
+    merges: list[Row] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (_pair_counts(cur)
+                   .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                   .limit(1).collect())
+            if not top:
+                break
+            left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+            merged = left + right
+            merges.append(Row(merge_rank=rank, left=left, right=right,
+                              merged=merged, pair_count=cnt))
+            nxt = cur.select(
+                F.replace("s", F.lit(f" {left}  {right} "),
+                          F.lit(f" {merged} ")).alias("s"),
+                "cnt").persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def bpe_apply(words: DataFrame, merges: list[tuple[str, str]],
+              word_col: str = "word") -> DataFrame:
+    """Encode each word with a learned merge list (driver-side,
+    ordered). → input columns + (bpe_tokens array<string>,
+    n_bpe_tokens long). Chained JVM replaces — no Python."""
+    s = _canon(F.col(word_col))
+    for left, right in merges:
+        s = F.replace(s, F.lit(f" {left}  {right} "),
+                      F.lit(f" {left + right} "))
+    toks = F.split(F.trim(s), "  ")
+    return (words.withColumn("bpe_tokens", toks)
+            .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long")))
+
+
+def encode_stats(docs: DataFrame, merges: list[tuple[str, str]],
+                 text_col: str = "text", id_col: str = "doc_id",
+                 word_filter: str | None = ASCII_PRINTABLE) -> DataFrame:
+    """→ (id, n_words, n_bpe_tokens): per-doc token accounting under
+    the learned tokenizer — the number that token-budget sampling and
+    sequence packing should run on.
+
+    The corpus is encoded THROUGH its vocabulary: distinct words are
+    encoded once (tiny vs corpus), then joined back to the exploded
+    corpus — the chained replaces never run per occurrence. Docs with
+    no qualifying words report 0/0.
+    """
+    w = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    if word_filter:
+        w = w.filter(F.col("word").rlike(word_filter))
+    vocab = bpe_apply(w.select("word").distinct(), merges) \
+        .select("word", "n_bpe_tokens")
+    per_doc = (w.join(vocab, "word")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_words"),
+                    F.sum("n_bpe_tokens").cast("long")
+                     .alias("n_bpe_tokens")))
+    base = docs.select(id_col).distinct()
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                     .alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                     .alias("n_bpe_tokens")))

@@ -1,0 +1,127 @@
+"""BPE training/encoding (operators/bpe.py).
+
+Ground truth below is hand-computed with the classic Sennrich worked
+example: vocabulary {low:5, lower:2, newest:6, widest:3}. Pair counts
+round 1: (e,s)=9, (s,t)=9, (w,e)=8, ... — (e,s) wins the (count desc,
+left asc) tie-break over (s,t); round 2 merges (es,t)=9; round 3
+(t,</w>)-less setup makes (l,o)=7 vs (w,est)... recomputed exactly in
+the tests, not assumed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duplicate_finder_spark.operators.bpe import (
+    bpe_apply, bpe_train, encode_stats, word_counts)
+
+
+def _corpus(spark):
+    # Sennrich et al. worked example, word counts {low:5, lower:2,
+    # newest:6, widest:3} — built as documents so word_counts derives
+    # the weights itself.
+    docs = []
+    i = 0
+    for w, n in (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)):
+        for _ in range(n):
+            docs.append((i, w))
+            i += 1
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_word_counts_collapses_and_filters(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b  a"), (2, "b é€\U0001F600 c"), (3, "  ")],
+        "doc_id long, text string")
+    got = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    # the emoji/accent word fails the ASCII filter; blank doc is empty
+    assert got == {"a": 2, "b": 2, "c": 1}
+    unfiltered = word_counts(docs, word_filter=None).count()
+    assert unfiltered == 4
+
+
+def test_bpe_train_matches_hand_computed_merges(spark):
+    wc = word_counts(_corpus(spark))
+    merges = bpe_train(wc, 4).orderBy("merge_rank").collect()
+    got = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"]) for r in merges]
+    # round 1: es=9 (newest 6 + widest 3); (e,s) beats (s,t) on left asc
+    # round 2: (es,t)=9
+    # round 3: pairs now include (l,o)=7 (low 5 + lower 2), (n,e)=6,
+    #          (e,w)=6, (w,est)=6, (est,?)… — (l,o)=7 wins
+    # round 4: (lo,w)=7
+    assert got == [(1, "e", "s", "es", 9),
+                   (2, "es", "t", "est", 9),
+                   (3, "l", "o", "lo", 7),
+                   (4, "lo", "w", "low", 7)]
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    wc = spark.createDataFrame([("ab", 3), ("c", 1)], "word string, cnt long")
+    merges = bpe_train(wc, 10).collect()
+    # only (a,b) exists; after merging it every word is one symbol
+    assert [(r["left"], r["right"]) for r in merges] == [("a", "b")]
+
+
+def test_greedy_left_to_right_overlap(spark):
+    # 'aaa' + merge (a,a) must tokenize as [aa, a]; 'aaaa' as [aa, aa]
+    wc = spark.createDataFrame([("aaa", 10), ("aaaa", 1)],
+                               "word string, cnt long")
+    merges = bpe_train(wc, 1).collect()
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    # pair_count is occurrence-weighted, left-to-right non-overlapping
+    # is NOT what the count uses — counts are over all adjacent
+    # positions: aaa has 2, aaaa has 3 → 10*2 + 1*3 = 23
+    assert merges[0]["pair_count"] == 23
+    enc = bpe_apply(wc, [("a", "a")])
+    got = {r["word"]: list(r["bpe_tokens"]) for r in enc.collect()}
+    assert got == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"]}
+
+
+def test_apply_chains_merges_in_order(spark):
+    words = spark.createDataFrame([("lowest",), ("low",), ("newest",)],
+                                  "word string")
+    enc = bpe_apply(words, [("e", "s"), ("es", "t"), ("l", "o"),
+                            ("lo", "w")])
+    got = {r["word"]: list(r["bpe_tokens"]) for r in enc.collect()}
+    assert got == {"low": ["low"],
+                   "lowest": ["low", "est"],
+                   "newest": ["n", "e", "w", "est"]}
+
+
+def test_encode_stats_counts_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lowest"), (2, "newest newest"), (3, ""), (4, "€")],
+        "doc_id long, text string")
+    out = encode_stats(docs, [("e", "s"), ("es", "t"), ("l", "o"),
+                              ("lo", "w")])
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in out.collect()}
+    assert got == {1: (2, 3),     # [low] + [low, est]
+                   2: (2, 8),     # 2 × [n, e, w, est]
+                   3: (0, 0),
+                   4: (0, 0)}     # non-ASCII word filtered out
+
+
+def test_train_plan_is_jvm_only_and_unpersists(spark):
+    """No Python UDF anywhere in training, and no persisted dataset
+    outlives bpe_train."""
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    wc = word_counts(_corpus(spark))
+    plan = wc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    bpe_train(wc, 3)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert set(after) <= set(before)
+
+
+def test_argmax_plans_as_take_ordered(spark):
+    from duplicate_finder_spark.operators.bpe import _canon, _pair_counts
+    wc = word_counts(_corpus(spark))
+    cur = wc.select(_canon(F.col("word")).alias("s"), "cnt")
+    top = (_pair_counts(cur)
+           .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right")).limit(1))
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
