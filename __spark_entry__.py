@@ -68,6 +68,7 @@ from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
 from duplicate_finder_spark.operators.importance import dsir_select
 from duplicate_finder_spark.operators.bpe import (bpe_train, encode_stats,
                                                   word_counts)
+from duplicate_finder_spark.operators.mixture import mixture_weights
 from duplicate_finder_spark.operators.gopherquality import (
     gopher_quality_signals)
 from duplicate_finder_spark.operators.lm import lm_score
@@ -316,6 +317,19 @@ def q_bpe_encode_stats(spark, sf_dir):
     rows = _bpe_merges(spark, sf_dir)
     merges = [(r["left"], r["right"]) for r in rows]
     return encode_stats(_docs(spark, sf_dir), merges)
+
+
+MIX_ALPHA = 0.7          # mixture temperature (Gopher/LLaMA-style)
+MIX_BUDGET = 1_000_000   # training-run token budget
+
+
+def q_source_mixture_weights(spark, sf_dir):
+    """Temperature-α source mixture plan (operators/mixture.py): per
+    source label, natural token share, α-scaled normalized mix weight,
+    the token draw under MIX_BUDGET, and the implied epochs. One
+    combinable groupBy over the corpus; the normalizers broadcast back
+    onto the one-row-per-source table."""
+    return mixture_weights(_docs(spark, sf_dir), MIX_ALPHA, MIX_BUDGET)
 
 
 def q_quality_scores(spark, sf_dir):
@@ -1744,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": q_token_stats_bpe,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "source_mixture_weights": q_source_mixture_weights,
         "quality_scores": q_quality_scores,
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
@@ -2211,6 +2226,26 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
           FROM (SELECT DISTINCT doc_id FROM documents) d
           LEFT JOIN agg a USING (doc_id)
+        """,
+        "source_mixture_weights": f"""
+          WITH per AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum({_TOKCOUNT})::BIGINT AS n_tokens
+            FROM documents GROUP BY source),
+          tot AS (SELECT sum(n_tokens)::DOUBLE AS t,
+                         sum(pow(n_tokens::DOUBLE, {MIX_ALPHA})) AS tpa
+                  FROM per)
+          SELECT source, n_docs, n_tokens,
+                 round(n_tokens / t, 6) AS nat_share,
+                 round(pow(n_tokens::DOUBLE, {MIX_ALPHA}) / tpa, 6)
+                   AS mix_weight,
+                 round(pow(n_tokens::DOUBLE, {MIX_ALPHA}) / tpa
+                       * {MIX_BUDGET})::BIGINT AS budget_tokens,
+                 CASE WHEN n_tokens > 0 THEN
+                   round(pow(n_tokens::DOUBLE, {MIX_ALPHA}) / tpa
+                         * {MIX_BUDGET} / n_tokens, 6)
+                 ELSE 0.0 END AS epochs
+          FROM per, tot
         """,
         "quality_scores": f"""
           SELECT doc_id, round((
