@@ -66,8 +66,8 @@ from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
 from duplicate_finder_spark.operators.importance import dsir_select
-from duplicate_finder_spark.operators.bpe import (bpe_train, encode_stats,
-                                                  word_counts)
+from duplicate_finder_spark.operators.bpe import (bpe_train, bpe_vocab,
+                                                  encode_stats, word_counts)
 from duplicate_finder_spark.operators.mixture import mixture_weights
 from duplicate_finder_spark.operators.gopherquality import (
     gopher_quality_signals)
@@ -317,6 +317,17 @@ def q_bpe_encode_stats(spark, sf_dir):
     rows = _bpe_merges(spark, sf_dir)
     merges = [(r["left"], r["right"]) for r in rows]
     return encode_stats(_docs(spark, sf_dir), merges)
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """The trained tokenizer's shipping artifact (operators/bpe.py
+    bpe_vocab): every symbol surviving the learned merges, weighted
+    occurrence count, deterministic (count desc, token asc) id — the
+    id ranking runs through the parallel global_rank, oracled against
+    DuckDB's single-reducer row_number()."""
+    rows = _bpe_merges(spark, sf_dir)
+    merges = [(r["left"], r["right"]) for r in rows]
+    return bpe_vocab(word_counts(_docs(spark, sf_dir)), merges)
 
 
 MIX_ALPHA = 0.7          # mixture temperature (Gopher/LLaMA-style)
@@ -1758,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": q_token_stats_bpe,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "bpe_vocab": q_bpe_vocab,
         "source_mixture_weights": q_source_mixture_weights,
         "quality_scores": q_quality_scores,
         "lang_distribution": q_lang_distribution,
@@ -2226,6 +2238,18 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
           FROM (SELECT DISTINCT doc_id FROM documents) d
           LEFT JOIN agg a USING (doc_id)
+        """,
+        "bpe_vocab": _bpe_chain_sql(BPE_N_MERGES) + f""",
+          voc AS (
+            SELECT tok AS token, sum(cnt)::BIGINT AS n_occurrences
+            FROM (SELECT unnest(string_split(trim(s), '  ')) AS tok,
+                         cnt
+                  FROM w{BPE_N_MERGES})
+            GROUP BY tok)
+          SELECT row_number() OVER (ORDER BY n_occurrences DESC,
+                                    token ASC)::BIGINT AS token_id,
+                 token, n_occurrences
+          FROM voc
         """,
         "source_mixture_weights": f"""
           WITH per AS (

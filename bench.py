@@ -40,6 +40,8 @@ HEADLINE = [
     "lm_perplexity",
     "image_neardup_pairs",
     "video_neardup_pairs",
+    "bpe_train_merges",
+    "source_mixture_weights",
 ]
 
 
@@ -74,6 +76,10 @@ def main() -> None:
     for name in HEADLINE:
         walls = []
         for _ in range(2):
+            # BPE training memoizes its learned merges driver-side so
+            # the two contract queries share one training run; a timed
+            # pass must train cold
+            entrymod._BPE_MERGES_CACHE.clear()
             t0 = time.time()
             # noop sink forces FULL evaluation of every output column —
             # count() would let Catalyst prune unreferenced UDF columns

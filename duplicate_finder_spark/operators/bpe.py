@@ -73,8 +73,8 @@ from pyspark.sql import functions as F
 
 from duplicate_finder_spark.functions.text import tokens
 
-__all__ = ["word_counts", "bpe_train", "bpe_apply", "encode_stats",
-           "ASCII_PRINTABLE"]
+__all__ = ["word_counts", "bpe_train", "bpe_apply", "bpe_vocab",
+           "encode_stats", "ASCII_PRINTABLE"]
 
 #: words made only of printable non-space ASCII — the oracle-parity
 #: alphabet (see module docstring).
@@ -169,6 +169,30 @@ def bpe_apply(words: DataFrame, merges: list[tuple[str, str]],
     toks = F.split(F.trim(s), "  ")
     return (words.withColumn("bpe_tokens", toks)
             .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long")))
+
+
+def bpe_vocab(words: DataFrame, merges: list[tuple[str, str]],
+              word_col: str = "word", cnt_col: str = "cnt") -> DataFrame:
+    """→ (token_id, token, n_occurrences): the trained tokenizer's
+    shipping artifact — every surviving symbol after the merge list,
+    its corpus occurrence count (weighted by word count), and a
+    deterministic 1-based id in (count desc, token asc) order.
+
+    The id ranking runs through ``global_rank`` (functions/ranks.py):
+    a mid-training vocabulary is alphabet + merges but an UNTRIMMED
+    one at web scale is bounded below by distinct characters seen —
+    large enough that the naive global row_number window's single
+    reducer is the wrong default."""
+    from duplicate_finder_spark.functions.ranks import global_rank
+    occ = (bpe_apply(words, merges, word_col)
+           .select(F.explode("bpe_tokens").alias("token"),
+                   F.col(cnt_col).alias("_cnt"))
+           .groupBy("token")
+           .agg(F.sum("_cnt").cast("long").alias("n_occurrences")))
+    return (global_rank(occ, [F.desc("n_occurrences"), F.asc("token")],
+                        out_col="token_id")
+            .select(F.col("token_id").cast("long"), "token",
+                    "n_occurrences"))
 
 
 def encode_stats(docs: DataFrame, merges: list[tuple[str, str]],

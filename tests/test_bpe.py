@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.operators.bpe import (
-    bpe_apply, bpe_train, encode_stats, word_counts)
+    bpe_apply, bpe_train, bpe_vocab, encode_stats, word_counts)
 
 
 def _corpus(spark):
@@ -88,6 +88,23 @@ def test_apply_chains_merges_in_order(spark):
     assert got == {"low": ["low"],
                    "lowest": ["low", "est"],
                    "newest": ["n", "e", "w", "est"]}
+
+
+def test_vocab_ids_counts_and_order(spark):
+    # corpus {low:5, lower:2, newest:6, widest:3}, merges through
+    # round 4 → encodings: low=[low], lower=[low,e,r],
+    # newest=[n,e,w,est], widest=[w,i,d,est]
+    wc = word_counts(_corpus(spark))
+    vocab = bpe_vocab(wc, [("e", "s"), ("es", "t"), ("l", "o"),
+                           ("lo", "w")]).collect()
+    got = {r["token"]: (r["token_id"], r["n_occurrences"])
+           for r in vocab}
+    # counts: est 6+3=9, e 2+6=8, w 6+3=9, low 5+2=7, r 2, n 6,
+    # i 3, d 3 → order by (count desc, token asc):
+    # est(9), w(9) → est<w; then e(8), low(7), n(6), d(3), i(3), r(2)
+    assert got == {"est": (1, 9), "w": (2, 9), "e": (3, 8),
+                   "low": (4, 7), "n": (5, 6), "d": (6, 3),
+                   "i": (7, 3), "r": (8, 2)}
 
 
 def test_encode_stats_counts_and_empty_docs(spark):
