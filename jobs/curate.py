@@ -9,7 +9,11 @@ benchmark decontamination → CCNet paragraph dedup → (optional)
 ExactSubstr span removal → (optional) SemDeDup semantic dedup over a
 supplied embedding table → (optional) per-stratum token-budget
 sampling → (optional) DSIR importance selection against a trusted
-target sample — every stage checkpointed through the Warehouse facade
+target sample → (optional) post-curation training artifacts: a BPE
+tokenizer trained over the survivors (``--bpe-merges``, writing the
+``bpe_merges`` + ``bpe_vocab`` tables) and a temperature-α source
+mixture plan (``--mix-alpha``/``--mix-budget``, writing ``mixture``)
+— every stage checkpointed through the Warehouse facade
 (fingerprint-keyed resume-on-rerun), per-stage rows/walls logged to
 the ``metrics`` table, the surviving corpus written to ``curated``,
 and one JSON funnel summary printed for the orchestrator.
@@ -109,6 +113,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="final stage: replace emails/IPv4s/phone "
                         "numbers in the surviving text with class "
                         "tokens (functions/pii.py)")
+    p.add_argument("--bpe-merges", type=int, default=0,
+                   help="> 0: after curation, train a BPE tokenizer of "
+                        "this many merges over the surviving corpus "
+                        "(operators/bpe.py) and write the bpe_merges + "
+                        "bpe_vocab artifact tables")
+    p.add_argument("--mix-alpha", type=float, default=0.0,
+                   help="in (0,1]: write the temperature-α source "
+                        "mixture plan over the surviving corpus "
+                        "(operators/mixture.py) as the mixture table; "
+                        "requires --mix-budget and --mix-source-col "
+                        "present in the input")
+    p.add_argument("--mix-budget", type=int, default=0,
+                   help="training-run token budget for --mix-alpha")
+    p.add_argument("--mix-source-col", default="source")
     p.add_argument("--input-id", default=None,
                    help="stable id for the input snapshot (stage-cache "
                         "key); defaults to the input path")
@@ -126,7 +144,8 @@ def _fingerprint(args: argparse.Namespace) -> str:
             "gopher_rules", "gopher_min_words", "gopher_min_stopwords",
             "lm_target", "lm_max_mean_nll", "lm_buckets",
             "emb_id_col", "emb_vec_col", "semantic_threshold",
-            "semantic_cells", "dsir_target", "dsir_k", "dsir_buckets")},
+            "semantic_cells", "dsir_target", "dsir_k", "dsir_buckets",
+            "bpe_merges", "mix_alpha", "mix_budget", "mix_source_col")},
         sort_keys=True)
     base = args.input_id or args.input
     return hashlib.sha256(f"{base}|{key}".encode()).hexdigest()[:16]
@@ -140,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.lm_target and args.lm_max_mean_nll <= 0:
         print("--lm-target requires --lm-max-mean-nll > 0",
+              file=sys.stderr)
+        return 2
+    if args.mix_alpha and not (0 < args.mix_alpha <= 1
+                               and args.mix_budget > 0):
+        print("--mix-alpha needs a value in (0,1] and --mix-budget > 0",
               file=sys.stderr)
         return 2
 
@@ -265,6 +289,35 @@ def main(argv: list[str] | None = None) -> int:
                         .select(idc,
                                 F.col("redacted_text").alias(txc)))
             cur = staged("pii_redacted", _pii)
+
+        # post-curation training artifacts: the corpus ships with its
+        # tokenizer and sampling plan (neither shrinks the funnel —
+        # their metrics rows count merges / sources, not documents)
+        if args.bpe_merges > 0:
+            from duplicate_finder_spark.operators.bpe import (bpe_train,
+                                                              bpe_vocab,
+                                                              word_counts)
+            merges_df = staged("bpe_merges", lambda inner=cur: bpe_train(
+                word_counts(inner, text_col=txc), args.bpe_merges))
+            pairs = [(r["left"], r["right"]) for r in
+                     merges_df.orderBy("merge_rank").collect()]
+            staged("bpe_vocab", lambda inner=cur: bpe_vocab(
+                word_counts(inner, text_col=txc), pairs))
+        if args.mix_alpha:
+            from duplicate_finder_spark.operators.mixture import (
+                mixture_weights)
+            src = args.mix_source_col
+            if src not in docs.columns:
+                print(f"--mix-alpha: input has no column {src!r} "
+                      f"(--mix-source-col)", file=sys.stderr)
+                return 2
+            def _mix(inner=cur):
+                with_src = inner.join(
+                    docs.select(idc, src), idc)
+                return mixture_weights(with_src, args.mix_alpha,
+                                       args.mix_budget,
+                                       source_col=src, text_col=txc)
+            staged("mixture", _mix)
 
         manifest = wh.write(cur, "curated", stage="curated", fingerprint=fp)
         wh.write(

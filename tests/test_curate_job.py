@@ -164,6 +164,80 @@ def test_curate_job_host_cap_and_pii(spark, tmp_path: Path) -> None:
     assert curated.filter(F.col("text").contains("<EMAIL>")).count() > 0
 
 
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_curate_job_tokenizer_and_mixture_artifacts(spark,
+                                                    tmp_path: Path) -> None:
+    """--bpe-merges and --mix-alpha append the training artifacts after
+    curation: the bpe_merges/bpe_vocab/mixture tables land in the
+    warehouse, match the in-process library computation, and the
+    funnel row counts are untouched by either artifact stage."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    wh_dir = str(tmp_path / "wh")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(REPO / "jobs" / "curate.py"),
+         "--input", inp, "--warehouse", wh_dir,
+         "--eval-mod", "50", "--eval-rem", "7",
+         "--bpe-merges", "3",
+         "--mix-alpha", "0.7", "--mix-budget", "100000",
+         "--input-id", "docs-v4"],
+        capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    out = json.loads([ln for ln in res.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    stages = [s["stage"] for s in out["funnel"]]
+    assert stages == ["quality", "decontaminated", "para_deduped",
+                      "bpe_merges", "bpe_vocab", "mixture"]
+    by = {s["stage"]: s["rows"] for s in out["funnel"]}
+    assert by["bpe_merges"] == 3
+    assert by["bpe_vocab"] > 3          # alphabet + merges
+    # curated rows come from the last FILTER stage, not the artifacts
+    assert out["rows"] == by["para_deduped"]
+
+    # artifact tables equal the in-process computation on the survivors
+    from duplicate_finder_spark.operators.bpe import bpe_train, word_counts
+    from duplicate_finder_spark.operators.mixture import mixture_weights
+    from duplicate_finder_spark.warehouse import get_warehouse
+    wh = get_warehouse(spark, wh_dir)
+    curated = wh.read("curated").select("doc_id", "text")
+    want_merges = sorted(map(tuple, bpe_train(
+        word_counts(curated), 3).collect()))
+    fp = [t for t in wh.tables() if t.startswith("bpe_merges_")]
+    got_merges = sorted(map(tuple, wh.read(fp[0]).collect()))
+    assert got_merges == want_merges
+    mix_t = [t for t in wh.tables() if t.startswith("mixture_")]
+    got_mix = sorted(map(tuple, wh.read(mix_t[0]).collect()))
+    want_mix = sorted(map(tuple, mixture_weights(
+        curated.join(docs.select("doc_id", "source"), "doc_id"),
+        0.7, 100000).collect()))
+    assert got_mix == want_mix and len(got_mix) > 1
+
+
+def test_mix_alpha_validation(tmp_path: Path) -> None:
+    sys.path.insert(0, str(REPO / "jobs"))
+    import curate
+    assert curate.main(["--input", "x", "--warehouse", "y",
+                        "--eval-mod", "10", "--mix-alpha", "0.5"]) == 2
+    assert curate.main(["--input", "x", "--warehouse", "y",
+                        "--eval-mod", "10", "--mix-alpha", "1.5",
+                        "--mix-budget", "10"]) == 2
+
+
 def test_eval_split_flags_are_exclusive(tmp_path: Path) -> None:
     sys.path.insert(0, str(REPO / "jobs"))
     import curate
