@@ -11,6 +11,8 @@ the tests, not assumed.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.operators.bpe import (
@@ -119,6 +121,57 @@ def test_encode_stats_counts_and_empty_docs(spark):
                    2: (2, 8),     # 2 × [n, e, w, est]
                    3: (0, 0),
                    4: (0, 0)}     # non-ASCII word filtered out
+
+
+def _ref_bpe(word_cnt: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE (Sennrich alg. 1 over a weighted
+    vocab, no end-of-word marker): pair counts over ALL adjacent
+    positions, argmax with (count desc, left asc, right asc),
+    greedy left-to-right within-word merge application."""
+    vocab = {tuple(w): c for w, c in word_cnt.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, left + right, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="abcde", min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=50),
+    min_size=1, max_size=12))
+def test_bpe_train_matches_pure_python_reference(spark, word_cnt):
+    """Random weighted vocabularies: the distributed training run must
+    reproduce the sequential reference merge-for-merge — counts,
+    tie-breaks, and greedy overlap handling included."""
+    wc = spark.createDataFrame(list(word_cnt.items()),
+                               "word string, cnt long")
+    got = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"])
+           for r in bpe_train(wc, 5).orderBy("merge_rank").collect()]
+    assert got == _ref_bpe(word_cnt, 5)
 
 
 def test_train_plan_is_jvm_only_and_unpersists(spark):
