@@ -120,7 +120,8 @@ def _pair_counts(words: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").cast("long").alias("cnt")))
 
 
-def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
+def bpe_train(words: DataFrame, n_merges: int,
+              max_words: int | None = None) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the (word, cnt) table.
 
     → (merge_rank, left, right, merged, pair_count), merge_rank
@@ -129,8 +130,29 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
     1-row TakeOrderedAndProject argmax, one replace map pass; the
     word table is re-persisted per round and the previous round
     unpersisted, so lineage is cut at each materialized cache.
+
+    ``max_words``: production vocabularies run tens of thousands of
+    merges, and every merge iterates over the word table — at 10^8
+    distinct web-text words that is the dominant cost. The standard
+    fix (what sentencepiece/HF tokenizer trainers do by sampling the
+    corpus) falls out of the word-count collapse for free: train on
+    the ``max_words`` highest-count words only — a Zipf head that
+    covers ≳99.9% of token OCCURRENCES at 10^6 words — and the
+    iteration cost becomes O(max_words) regardless of corpus size.
+    Deterministic (count desc, word asc) cut, ranked through the
+    parallel ``global_rank`` so any cutoff size is safe (no driver
+    heap, no single-reducer window). Merges learned on the head apply
+    to ALL words at encode time; tail words simply fall back to more,
+    shorter tokens — the same behavior a sampled trainer exhibits.
+    Counts reported in ``pair_count`` are head-corpus counts.
     """
     spark = words.sparkSession
+    if max_words is not None:
+        from duplicate_finder_spark.functions.ranks import global_rank
+        words = (global_rank(words,
+                             [F.desc("cnt"), F.asc("word")],
+                             out_col="_wr")
+                 .filter(F.col("_wr") <= max_words).drop("_wr"))
     cur = words.select(_canon(F.col("word")).alias("s"), "cnt").persist()
     cur.count()
     merges: list[Row] = []

@@ -123,6 +123,30 @@ def test_encode_stats_counts_and_empty_docs(spark):
                    4: (0, 0)}     # non-ASCII word filtered out
 
 
+def test_max_words_trains_on_the_zipf_head(spark):
+    """max_words cuts the vocab to the top-K by (count desc, word asc)
+    before training; merges equal training on that head directly, and
+    the cut changes the outcome when the tail held the winning pair."""
+    rows = [("zz", 100), ("ab", 3), ("abba", 4), ("qq", 2)]
+    wc = spark.createDataFrame(rows, "word string, cnt long")
+    full = bpe_train(wc, 1).collect()
+    head = bpe_train(wc, 1, max_words=1).collect()
+    # full corpus: (a,b) count 3+4=7 < (z,z) 100 → zz either way here,
+    # so cut deeper: head-of-1 is {zz} → (z,z); train on the 3-word
+    # head {zz, abba, ab} drops qq's (q,q) pair entirely
+    assert (full[0]["left"], full[0]["right"]) == ("z", "z")
+    assert (head[0]["left"], head[0]["right"]) == ("z", "z")
+    head3 = bpe_train(wc, 3, max_words=3)
+    pairs3 = {(r["left"], r["right"]) for r in head3.collect()}
+    assert ("q", "q") not in pairs3
+    # and the head-trained merges equal training on the head table
+    direct = bpe_train(
+        spark.createDataFrame([("zz", 100), ("abba", 4), ("ab", 3)],
+                              "word string, cnt long"), 3)
+    assert sorted(map(tuple, head3.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
 def _ref_bpe(word_cnt: dict[str, int], n_merges: int):
     """Pure-Python reference BPE (Sennrich alg. 1 over a weighted
     vocab, no end-of-word marker): pair counts over ALL adjacent
