@@ -69,6 +69,8 @@ from duplicate_finder_spark.operators.importance import dsir_select
 from duplicate_finder_spark.operators.bpe import (bpe_train, bpe_vocab,
                                                   encode_stats, word_counts)
 from duplicate_finder_spark.operators.mixture import mixture_weights
+from duplicate_finder_spark.operators.blocklist import (
+    badword_filter, domain_blocklist_filter)
 from duplicate_finder_spark.operators.gopherquality import (
     gopher_quality_signals)
 from duplicate_finder_spark.operators.lm import lm_score
@@ -328,6 +330,42 @@ def q_bpe_vocab(spark, sf_dir):
     rows = _bpe_merges(spark, sf_dir)
     merges = [(r["left"], r["right"]) for r in rows]
     return bpe_vocab(word_counts(_docs(spark, sf_dir)), merges)
+
+
+BLOCKED_DOMAINS = ["host00.example", "host07.example"]
+BADWORDS = ["slow", "merge", "the"]
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """URL-domain blocklist with subdomain-suffix semantics
+    (operators/blocklist.py): hosts explode into their ancestor-domain
+    chain, so suffix matching is a broadcast EQUI-join, never a
+    LIKE/regex theta-join. Synthetic crawl: head hosts plus cdn.*
+    subdomain mirrors; the blocklist catches both the apex and every
+    subdomain, and survivors carry a null verdict."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hidx = F.when(F.col("doc_id") % 10 < 5, F.lit(0)) \
+            .otherwise((F.col("doc_id") % 10).cast("int"))
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.format_string("host%02d.example", hidx))
+    pages = docs.select("doc_id", F.concat(
+        F.lit("https://"), host,
+        F.format_string("/%08d", F.col("doc_id"))).alias("url"))
+    bl = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS],
+                               "domain string")
+    out = domain_blocklist_filter(pages, bl)
+    return out.select("doc_id", "url", "blocked_by")
+
+
+def q_badword_filter(spark, sf_dir):
+    """C4-style token blocklist (operators/blocklist.py): distinct
+    (doc, token) pairs equi-join the broadcast word list — no per-doc
+    regex alternation. Returns per-doc distinct-hit count and the
+    lexicographically first hit."""
+    bw = spark.createDataFrame([(w,) for w in BADWORDS], "word string")
+    return badword_filter(_docs(spark, sf_dir), bw) \
+        .select("doc_id", "n_badwords", "first_badword")
 
 
 MIX_ALPHA = 0.7          # mixture temperature (Gopher/LLaMA-style)
@@ -1771,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_stats": q_bpe_encode_stats,
         "bpe_vocab": q_bpe_vocab,
         "source_mixture_weights": q_source_mixture_weights,
+        "domain_blocklist": q_domain_blocklist,
+        "badword_filter": q_badword_filter,
         "quality_scores": q_quality_scores,
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
@@ -2250,6 +2290,43 @@ def oracle_sql() -> dict[str, str]:
                                     token ASC)::BIGINT AS token_id,
                  token, n_occurrences
           FROM voc
+        """,
+        "domain_blocklist": """
+          WITH p AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'cdn.' ELSE '' END)
+                   || printf('host%02d.example',
+                             CASE WHEN doc_id % 10 < 5 THEN 0
+                                  ELSE (doc_id % 10)::INT END) AS host
+            FROM documents)
+          SELECT doc_id,
+                 'https://' || host || printf('/%08d', doc_id) AS url,
+                 CASE
+                   WHEN host = 'host00.example'
+                        OR host LIKE '%.host00.example'
+                     THEN 'host00.example'
+                   WHEN host = 'host07.example'
+                        OR host LIKE '%.host07.example'
+                     THEN 'host07.example'
+                 END AS blocked_by
+          FROM p
+        """,
+        "badword_filter": r"""
+          WITH t AS (
+            SELECT DISTINCT doc_id, lower(tok) AS tok FROM (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+                     '\s+')) AS tok
+              FROM documents WHERE trim(text) <> '')),
+          h AS (
+            SELECT doc_id, count(*)::BIGINT AS n_badwords,
+                   min(tok) AS first_badword
+            FROM t WHERE tok IN ('slow', 'merge', 'the')
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(h.n_badwords, 0)::BIGINT AS n_badwords,
+                 h.first_badword
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN h USING (doc_id)
         """,
         "source_mixture_weights": f"""
           WITH per AS (
