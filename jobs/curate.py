@@ -4,7 +4,8 @@
         jobs/curate.py --input /path/docs_parquet \\
         --eval-input /path/benchmark_parquet --warehouse /path/wh
 
-The training-data complement to jobs/dedup.py: quality gate →
+The training-data complement to jobs/dedup.py: (optional) URL-domain
+blocklist + per-host cap + badword blocklist → quality gate →
 benchmark decontamination → CCNet paragraph dedup → (optional)
 ExactSubstr span removal → (optional) SemDeDup semantic dedup over a
 supplied embedding table → (optional) per-stratum token-budget
@@ -113,6 +114,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="final stage: replace emails/IPv4s/phone "
                         "numbers in the surviving text with class "
                         "tokens (functions/pii.py)")
+    p.add_argument("--domain-blocklist", default=None,
+                   help="parquet table with a 'domain' column; with "
+                        "--url-col, drop pages whose host equals or is "
+                        "a subdomain of any entry (first stage, "
+                        "operators/blocklist.py)")
+    p.add_argument("--badwords", default=None,
+                   help="parquet table with a 'word' column; drop docs "
+                        "containing any listed token (after the "
+                        "quality gate, operators/blocklist.py)")
     p.add_argument("--bpe-merges", type=int, default=0,
                    help="> 0: after curation, train a BPE tokenizer of "
                         "this many merges over the surviving corpus "
@@ -145,7 +155,8 @@ def _fingerprint(args: argparse.Namespace) -> str:
             "lm_target", "lm_max_mean_nll", "lm_buckets",
             "emb_id_col", "emb_vec_col", "semantic_threshold",
             "semantic_cells", "dsir_target", "dsir_k", "dsir_buckets",
-            "bpe_merges", "mix_alpha", "mix_budget", "mix_source_col")},
+            "bpe_merges", "mix_alpha", "mix_budget", "mix_source_col",
+            "domain_blocklist", "badwords")},
         sort_keys=True)
     base = args.input_id or args.input
     return hashlib.sha256(f"{base}|{key}".encode()).hexdigest()[:16]
@@ -165,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
                                and args.mix_budget > 0):
         print("--mix-alpha needs a value in (0,1] and --mix-budget > 0",
               file=sys.stderr)
+        return 2
+    if args.domain_blocklist and not args.url_col:
+        print("--domain-blocklist requires --url-col", file=sys.stderr)
         return 2
 
     spark = (SparkSession.builder
@@ -191,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.sample_strata is not None:
             keep_cols.append(args.sample_strata)
         cap_on = args.url_col and args.max_per_host > 0
-        if cap_on:
+        if args.url_col and (cap_on or args.domain_blocklist):
             keep_cols.append(args.url_col)
         train = train.select(*keep_cols)
 
@@ -210,17 +224,36 @@ def main(argv: list[str] | None = None) -> int:
             return df
 
         base = train
+        if args.domain_blocklist:
+            from duplicate_finder_spark.operators.blocklist import (
+                domain_blocklist_filter)
+            bl = spark.read.parquet(args.domain_blocklist)
+            base = staged("domain_blocked", lambda inner=base:
+                          domain_blocklist_filter(
+                              inner.select(idc, txc, args.url_col),
+                              bl, url_col=args.url_col)
+                          .filter(F.col("blocked_by").isNull())
+                          .select(idc, txc, args.url_col))
         if cap_on:
             from duplicate_finder_spark.operators.domains import (
                 cap_per_host)
-            base = staged("host_capped", lambda: cap_per_host(
-                train.select(idc, txc, args.url_col),
+            base = staged("host_capped", lambda inner=base: cap_per_host(
+                inner.select(idc, txc, args.url_col),
                 args.max_per_host, url_col=args.url_col)
                 .select(idc, txc))
         quality = staged("quality", lambda: quality_gate(
             base.select(idc, txc), args.min_tokens, args.max_dup_frac,
             args.gopher_w, idc, txc))
         gate = quality
+        if args.badwords:
+            from duplicate_finder_spark.operators.blocklist import (
+                badword_filter)
+            bwt = spark.read.parquet(args.badwords)
+            gate = staged("badword_filtered", lambda inner=gate:
+                          badword_filter(inner, bwt, text_col=txc,
+                                         id_col=idc)
+                          .filter(F.col("n_badwords") == 0)
+                          .select(idc, txc))
         if args.gopher_rules:
             from duplicate_finder_spark.operators.gopherquality import (
                 gopher_filter)

@@ -228,6 +228,81 @@ def test_curate_job_tokenizer_and_mixture_artifacts(spark,
     assert got_mix == want_mix and len(got_mix) > 1
 
 
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_curate_job_blocklist_stages(spark, tmp_path: Path) -> None:
+    """--domain-blocklist drops blocked hosts (subdomain-suffix
+    semantics) as the first stage; --badwords drops docs containing a
+    listed token after the quality gate; both counts match the
+    in-process library composition."""
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("url", F.format_string(
+                "https://%ssite%02d.example/%06d",
+                F.when(F.col("doc_id") % 2 == 0, F.lit("cdn."))
+                 .otherwise(F.lit("")),
+                (F.col("doc_id") % 20).cast("int"), F.col("doc_id"))))
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    bl_path = str(tmp_path / "bl")
+    spark.createDataFrame([("site03.example",), ("site11.example",)],
+                          "domain string").write.parquet(bl_path)
+    bw_path = str(tmp_path / "bw")
+    spark.createDataFrame([("slow",)], "word string") \
+        .write.parquet(bw_path)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    wh_dir = str(tmp_path / "wh")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(REPO / "jobs" / "curate.py"),
+         "--input", inp, "--warehouse", wh_dir,
+         "--eval-mod", "50", "--eval-rem", "7",
+         "--url-col", "url", "--domain-blocklist", bl_path,
+         "--badwords", bw_path, "--input-id", "docs-v5"],
+        capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    out = json.loads([ln for ln in res.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    stages = {s["stage"]: s["rows"] for s in out["funnel"]}
+    assert [s["stage"] for s in out["funnel"]] == [
+        "domain_blocked", "quality", "badword_filtered",
+        "decontaminated", "para_deduped"]
+
+    from duplicate_finder_spark.operators.blocklist import (
+        badword_filter, domain_blocklist_filter)
+    from duplicate_finder_spark.operators.curation import quality_gate
+    train = docs.filter((F.col("doc_id") % 50) != 7)
+    bl = spark.createDataFrame([("site03.example",), ("site11.example",)],
+                               "domain string")
+    blocked = domain_blocklist_filter(
+        train.select("doc_id", "text", "url"), bl) \
+        .filter(F.col("blocked_by").isNull())
+    n_blocked = blocked.count()
+    assert stages["domain_blocked"] == n_blocked < train.count()
+    q = quality_gate(blocked.select("doc_id", "text"), 20, 0.07, 2)
+    bw = spark.createDataFrame([("slow",)], "word string")
+    n_bw = badword_filter(q, bw).filter(F.col("n_badwords") == 0).count()
+    assert stages["badword_filtered"] == n_bw < stages["quality"]
+
+
+def test_domain_blocklist_requires_url_col(tmp_path: Path) -> None:
+    sys.path.insert(0, str(REPO / "jobs"))
+    import curate
+    assert curate.main(["--input", "x", "--warehouse", "y",
+                        "--eval-mod", "10",
+                        "--domain-blocklist", "bl"]) == 2
+
+
 def test_mix_alpha_validation(tmp_path: Path) -> None:
     sys.path.insert(0, str(REPO / "jobs"))
     import curate
