@@ -120,8 +120,21 @@ def _pair_counts(words: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").cast("long").alias("cnt")))
 
 
+def _words_checksum(words: DataFrame) -> tuple[int, int]:
+    """O(1)-driver content checksum of the (word, cnt) table — the
+    content-addressed resume key when the caller holds no stable
+    input fingerprint (same pattern as components._checksum)."""
+    row = words.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("word", "cnt")).alias("h")).first()
+    return row["n"], int(row["h"]) if row["h"] is not None else 0
+
+
 def bpe_train(words: DataFrame, n_merges: int,
-              max_words: int | None = None) -> DataFrame:
+              max_words: int | None = None,
+              warehouse=None, checkpoint_every: int = 0,
+              input_fp: str | None = None,
+              table_prefix: str = "bpe_train") -> DataFrame:
     """Learn ``n_merges`` BPE merges over the (word, cnt) table.
 
     → (merge_rank, left, right, merged, pair_count), merge_rank
@@ -145,35 +158,105 @@ def bpe_train(words: DataFrame, n_merges: int,
     to ALL words at encode time; tail words simply fall back to more,
     shorter tokens — the same behavior a sampled trainer exhibits.
     Counts reported in ``pair_count`` are head-corpus counts.
+
+    Resumability: a production vocabulary is tens of thousands of
+    SEQUENTIAL merges — the longest inherently serial computation in
+    the engine, so a crash must not restart it. With ``warehouse``
+    (Parquet/Iceberg) and ``checkpoint_every`` > 0, every that-many-th
+    round writes the current word table and the merges-so-far to
+    reliable warehouse tables (plus a terminal checkpoint at the last
+    round), content-addressed by ``input_fp`` — or, when the caller
+    holds none, by an O(1)-driver (count, hash) checksum of the input
+    — plus the (n_merges, max_words) config, so a rerun over
+    different input or config can never false-resume. A rerun resumes
+    from the highest matching round; older round tables are GC'd as
+    newer ones land (rolling, CC-style). Checkpoint reads also cut
+    the replace-chain lineage, bounding plan depth for long runs.
     """
     spark = words.sparkSession
-    if max_words is not None:
-        from duplicate_finder_spark.functions.ranks import global_rank
-        words = (global_rank(words,
-                             [F.desc("cnt"), F.asc("word")],
-                             out_col="_wr")
-                 .filter(F.col("_wr") <= max_words).drop("_wr"))
-    cur = words.select(_canon(F.col("word")).alias("s"), "cnt").persist()
-    cur.count()
+    reliable = warehouse is not None and checkpoint_every > 0
     merges: list[Row] = []
+    cur = None
+    base_fp = ""
+    rounds: list[int] = []
+    if reliable:
+        if input_fp is None:
+            n0, h0 = _words_checksum(words)
+            input_fp = f"{n0}:{h0}"
+        base_fp = f"bpe:{input_fp}:{n_merges}:{max_words}"
+        rounds = sorted({*range(checkpoint_every, n_merges + 1,
+                                checkpoint_every), n_merges})
+        for k in reversed(rounds):
+            wname = f"{table_prefix}_words_r{k}"
+            mname = f"{table_prefix}_merges_r{k}"
+            mw = warehouse.manifest(wname)
+            mm = warehouse.manifest(mname)
+            if (mw is not None and mm is not None
+                    and mw.fingerprint == f"{base_fp}:r{k}"
+                    and mm.fingerprint == f"{base_fp}:r{k}"):
+                cur = warehouse.read(wname).persist()
+                cur.count()
+                merges = [Row(**r.asDict()) for r in
+                          warehouse.read(mname)
+                          .orderBy("merge_rank").collect()]
+                start = k
+                break
+    if cur is None:
+        if max_words is not None:
+            from duplicate_finder_spark.functions.ranks import global_rank
+            words = (global_rank(words,
+                                 [F.desc("cnt"), F.asc("word")],
+                                 out_col="_wr")
+                     .filter(F.col("_wr") <= max_words).drop("_wr"))
+        cur = words.select(_canon(F.col("word")).alias("s"),
+                           "cnt").persist()
+        cur.count()
+        start = 0
     try:
-        for rank in range(1, n_merges + 1):
+        for rank in range(start + 1, n_merges + 1):
             top = (_pair_counts(cur)
                    .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
                    .limit(1).collect())
-            if not top:
+            if top:
+                left, right, cnt = (top[0]["left"], top[0]["right"],
+                                    top[0]["cnt"])
+                merges.append(Row(merge_rank=rank, left=left, right=right,
+                                  merged=left + right, pair_count=cnt))
+                nxt = cur.select(
+                    F.replace("s", F.lit(f" {left}  {right} "),
+                              F.lit(f" {left + right} ")).alias("s"),
+                    "cnt").persist()
+                nxt.count()
+                cur.unpersist()
+                cur = nxt
+            exhausted = not top
+            at_ckpt = reliable and (rank in rounds or exhausted)
+            if at_ckpt:
+                # on early exhaustion the state is terminal: record it
+                # under the LAST round so a rerun resumes past the loop
+                k = n_merges if exhausted else rank
+                fp = f"{base_fp}:r{k}"
+                warehouse.write(cur, f"{table_prefix}_words_r{k}",
+                                stage="bpe_words", fingerprint=fp)
+                warehouse.write(
+                    spark.createDataFrame(merges, _MERGE_SCHEMA),
+                    f"{table_prefix}_merges_r{k}",
+                    stage="bpe_merges", fingerprint=fp)
+                for j in rounds:
+                    if j != k:
+                        for nm in (f"{table_prefix}_words_r{j}",
+                                   f"{table_prefix}_merges_r{j}"):
+                            m = warehouse.manifest(nm)
+                            if m is not None and m.fingerprint \
+                                    .startswith(f"{base_fp}:"):
+                                warehouse.drop(nm)
+                stored = warehouse.read(
+                    f"{table_prefix}_words_r{k}").persist()
+                stored.count()
+                cur.unpersist()
+                cur = stored
+            if exhausted:
                 break
-            left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
-            merged = left + right
-            merges.append(Row(merge_rank=rank, left=left, right=right,
-                              merged=merged, pair_count=cnt))
-            nxt = cur.select(
-                F.replace("s", F.lit(f" {left}  {right} "),
-                          F.lit(f" {merged} ")).alias("s"),
-                "cnt").persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
     finally:
         cur.unpersist()
     return spark.createDataFrame(merges, _MERGE_SCHEMA)

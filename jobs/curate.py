@@ -128,6 +128,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "this many merges over the surviving corpus "
                         "(operators/bpe.py) and write the bpe_merges + "
                         "bpe_vocab artifact tables")
+    p.add_argument("--bpe-checkpoint-every", type=int, default=0,
+                   help="> 0 with --bpe-merges: checkpoint the "
+                        "training state to the warehouse every N "
+                        "merges (resume-on-rerun for long "
+                        "vocabularies)")
     p.add_argument("--mix-alpha", type=float, default=0.0,
                    help="in (0,1]: write the temperature-α source "
                         "mixture plan over the surviving corpus "
@@ -331,7 +336,10 @@ def main(argv: list[str] | None = None) -> int:
                                                               bpe_vocab,
                                                               word_counts)
             merges_df = staged("bpe_merges", lambda inner=cur: bpe_train(
-                word_counts(inner, text_col=txc), args.bpe_merges))
+                word_counts(inner, text_col=txc), args.bpe_merges,
+                warehouse=wh,
+                checkpoint_every=args.bpe_checkpoint_every,
+                input_fp=fp))
             pairs = [(r["left"], r["right"]) for r in
                      merges_df.orderBy("merge_rank").collect()]
             staged("bpe_vocab", lambda inner=cur: bpe_vocab(

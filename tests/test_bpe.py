@@ -198,6 +198,61 @@ def test_bpe_train_matches_pure_python_reference(spark, word_cnt):
     assert got == _ref_bpe(word_cnt, 5)
 
 
+def test_checkpointed_training_resumes_and_gcs(spark, tmp_path):
+    """Warehouse-checkpointed training: merges equal the plain run; a
+    rerun resumes from the stored round tables WITHOUT the input (an
+    empty input table reproduces the full result); only the terminal
+    round's tables survive GC; a different config never false-resumes."""
+    from duplicate_finder_spark.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wc = word_counts(_corpus(spark))
+    plain = sorted(map(tuple, bpe_train(wc, 5).collect()))
+    ck = sorted(map(tuple, bpe_train(
+        wc, 5, warehouse=wh, checkpoint_every=2,
+        input_fp="corpus-v1").collect()))
+    assert ck == plain
+
+    empty = spark.createDataFrame([], "word string, cnt long")
+    resumed = sorted(map(tuple, bpe_train(
+        empty, 5, warehouse=wh, checkpoint_every=2,
+        input_fp="corpus-v1").collect()))
+    assert resumed == plain
+
+    left = {t for t in wh.tables() if t.startswith("bpe_train_")}
+    assert left == {"bpe_train_words_r5", "bpe_train_merges_r5"}
+
+    # different config under the same warehouse: trains fresh (3-merge
+    # prefix of the plain run, not a stale 5-merge resume)
+    fresh3 = sorted(map(tuple, bpe_train(
+        wc, 3, warehouse=wh, checkpoint_every=2,
+        input_fp="corpus-v1").collect()))
+    assert len(fresh3) == 3
+    assert fresh3 == sorted(map(tuple, bpe_train(wc, 3).collect()))
+
+
+def test_checkpointed_training_content_addressed(spark, tmp_path):
+    """Without input_fp the resume key is the input checksum: changed
+    input under the same warehouse retrains instead of false-resuming;
+    early exhaustion writes a terminal checkpoint that short-circuits
+    the rerun."""
+    from duplicate_finder_spark.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    a = spark.createDataFrame([("ab", 3)], "word string, cnt long")
+    got_a = bpe_train(a, 4, warehouse=wh, checkpoint_every=2).collect()
+    assert [(r["left"], r["right"]) for r in got_a] == [("a", "b")]
+
+    b = spark.createDataFrame([("cd", 9)], "word string, cnt long")
+    got_b = bpe_train(b, 4, warehouse=wh, checkpoint_every=2).collect()
+    assert [(r["left"], r["right"]) for r in got_b] == [("c", "d")]
+
+    # rerun of b resumes from its terminal checkpoint even though the
+    # exhaustion happened before the first periodic round
+    again = bpe_train(b, 4, warehouse=wh, checkpoint_every=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got_b))
+
+
 def test_train_plan_is_jvm_only_and_unpersists(spark):
     """No Python UDF anywhere in training, and no persisted dataset
     outlives bpe_train."""

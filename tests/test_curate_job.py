@@ -192,7 +192,7 @@ def test_curate_job_tokenizer_and_mixture_artifacts(spark,
          str(REPO / "jobs" / "curate.py"),
          "--input", inp, "--warehouse", wh_dir,
          "--eval-mod", "50", "--eval-rem", "7",
-         "--bpe-merges", "3",
+         "--bpe-merges", "3", "--bpe-checkpoint-every", "2",
          "--mix-alpha", "0.7", "--mix-budget", "100000",
          "--input-id", "docs-v4"],
         capture_output=True, text=True, env=env,
