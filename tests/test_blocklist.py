@@ -65,6 +65,36 @@ def test_domain_blocklist_plan_is_equijoin(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LABEL = st.sampled_from(["a", "b", "cc", "dd", "x0"])
+_HOST = st.lists(_LABEL, min_size=1, max_size=5).map(".".join)
+
+
+@settings(max_examples=20, deadline=None)
+@given(hosts=st.lists(_HOST, min_size=1, max_size=8),
+       blocked=st.lists(_HOST, min_size=1, max_size=5))
+def test_domain_blocklist_matches_python_reference(spark, hosts, blocked):
+    """Random host/list combinations: the exploded-chain equi-join
+    verdict equals direct suffix matching, most-specific hit first."""
+    def ref(host):
+        best = None
+        for e in set(blocked):
+            if host == e or host.endswith("." + e):
+                if best is None or e.count(".") > best.count("."):
+                    best = e
+        return best
+
+    pages = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, h in enumerate(hosts)],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([(e,) for e in blocked], "domain string")
+    got = {r["doc_id"]: r["blocked_by"]
+           for r in domain_blocklist_filter(pages, bl).collect()}
+    assert got == {i: ref(h) for i, h in enumerate(hosts)}
+
+
 def test_badword_filter_counts_and_clean_docs(spark):
     docs = spark.createDataFrame(
         [(1, "the Quick BAD fox bad"),     # 'bad' once distinct
