@@ -5,10 +5,11 @@ mechanics — schema, Arrow batch shape, partition sizing, UDF signatures —
 are real and tested. Media decode is REAL wherever the stdlib + numpy
 suffice: PPM P6, uncompressed 24-bit BMP, PNG (zlib inflate + the five
 row filters incl. Paeth, every 8-bit color type), GIF (pure-Python LZW,
-incl. interlace) — ``decode_image`` — and integer-PCM WAV
+incl. interlace), JPEG (``jpegcodec.py``), WebP lossless
+(``webpcodec.py``) — ``decode_image`` — and integer-PCM WAV
 (``decode_wav``). Formats whose entropy coding genuinely needs an
-external codec (JPEG/WebP/mp3/video) fall back to the explicit
-``decode_stub`` (PIL/ffmpeg are not in this container), whose
+external codec (lossy-VP8 WebP/mp3 samples/H.264) fall back to the
+explicit ``decode_stub`` (PIL/ffmpeg are not in this container), whose
 deterministic fake keeps downstream feature logic exercisable
 end-to-end.
 
@@ -542,15 +543,18 @@ def audio_feature(samples: np.ndarray, rate: int) -> list[float]:
 def decode_image(payload: bytes) -> np.ndarray | None:
     """REAL decode, no codec libraries: PPM P6 and uncompressed 24-bit
     BMP (pure numpy), PNG (stdlib zlib inflate + numpy defilter, all
-    five row filters incl. Paeth), GIF (pure-Python LZW), and JPEG —
+    five row filters incl. Paeth), GIF (pure-Python LZW), JPEG —
     baseline AND progressive (canonical Huffman + numpy IDCT,
-    ``jpegcodec.py``). Returns HxWx3 uint8 RGB, or None for formats
-    that genuinely need an external codec (WebP/…), which fall back to
+    ``jpegcodec.py``) — and WebP LOSSLESS (VP8L prefix codes, LZ77,
+    color cache + all four transforms, ``webpcodec.py``). Returns
+    HxWx3 uint8 RGB, or None for formats that genuinely need an
+    external codec (lossy VP8 WebP/…), which fall back to
     ``decode_stub``."""
     from duplicate_finder_spark.operators.jpegcodec import decode_jpeg
+    from duplicate_finder_spark.operators.webpcodec import decode_webp
 
     for dec in (_decode_bmp, _decode_ppm, _decode_png, _decode_gif,
-                decode_jpeg):
+                decode_jpeg, decode_webp):
         img = dec(payload)
         if img is not None:
             return img
