@@ -1243,22 +1243,32 @@ IMG_V_MOD = 251   # synthesized cell-value modulus (prime, < 256)
 
 
 def _synth_images(spark, sf_dir):
-    """Deterministic 16×16 PPM per doc: 8×8 grid of 2×2 constant cells,
-    cell value ((src+1)·k²) % 251 with k = gy·8+gx+1 and src = doc_id
-    (quadratic mixing decorrelates the 64-bit hashes across docs — a
-    linear formula was measured at 29,903 hamming≤3 pairs vs this
-    formula's 324), except doc_id % 20 == 1 clones its predecessor
-    byte-for-byte (exact image dup) and % 20 == 2 clones doc_id−2 with
-    ONE perturbed corner cell (near dup — the perturbation shifts the
-    global mean, so which bits flip is decided by the same closed-form
-    arithmetic the DuckDB oracle recomputes)."""
+    """Deterministic 16×16 image per doc: 8×8 grid of 2×2 constant
+    cells, cell value ((src+1)·k²) % 251 with k = gy·8+gx+1 and
+    src = doc_id (quadratic mixing decorrelates the 64-bit hashes
+    across docs — a linear formula was measured at 29,903 hamming≤3
+    pairs vs this formula's 324), except doc_id % 20 == 1 clones its
+    predecessor's PIXELS (exact image dup) and % 20 == 2 clones
+    doc_id−2 with ONE perturbed corner cell (near dup — the
+    perturbation shifts the global mean, so which bits flip is decided
+    by the same closed-form arithmetic the DuckDB oracle recomputes).
+    The CONTAINER cycles by doc_id % 4 — PPM, PNG, GIF, lossless
+    WebP — so clone pairs usually straddle formats: the downstream
+    hash/near-dup gates only pass if every lossless decoder returns
+    bit-identical pixels (re-encoded duplicates must cluster)."""
     import numpy as np
     import pandas as pd
-    from duplicate_finder_spark.operators.multimodal import encode_ppm
+    from duplicate_finder_spark.operators.multimodal import (encode_gif,
+                                                             encode_png,
+                                                             encode_ppm)
+    from duplicate_finder_spark.operators.webpcodec import encode_webp
 
     def synth(batches):
         gy, gx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
         k = (gy * 8 + gx + 1).astype(np.int64)
+        encoders = (encode_ppm, encode_png, encode_gif,
+                    lambda im: encode_webp(im, use_lz77=True,
+                                           subtract_green=True))
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
@@ -1271,7 +1281,7 @@ def _synth_images(spark, sf_dir):
                     v[0, 0] = (src * 7 + 97) % IMG_V_MOD
                 px = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
                 img = np.stack([px.astype(np.uint8)] * 3, axis=2)
-                payloads.append(encode_ppm(img))
+                payloads.append(encoders[d % 4](img))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "payload": payloads})
