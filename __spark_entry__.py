@@ -29,6 +29,7 @@ from duplicate_finder_spark.functions.text import (bpe_token_count,
                                                    stopword_ratio,
                                                    token_count, tokens)
 from duplicate_finder_spark.operators import exact as ex
+from duplicate_finder_spark.partitioning import fan_out
 from duplicate_finder_spark.operators import decisions as dec
 from duplicate_finder_spark.operators.decisions import keep_best
 from duplicate_finder_spark.operators.audit import pair_recall_audit
@@ -1286,7 +1287,9 @@ def _synth_images(spark, sf_dir):
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "payload": payloads})
 
-    return (_docs(spark, sf_dir).select("doc_id")
+    # per-row codec work: a tiny one-file scan must not serialize the
+    # encode (and the consumer's decode) on a single core
+    return (fan_out(_docs(spark, sf_dir).select("doc_id"))
             .mapInPandas(synth, "doc_id long, payload binary"))
 
 
@@ -1345,7 +1348,9 @@ def _synth_wavs(spark, sf_dir):
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "payload": [wav_bytes(int(d)) for d in pdf["doc_id"]]})
 
-    return (_docs(spark, sf_dir).select("doc_id")
+    # per-row codec work: a tiny one-file scan must not serialize the
+    # encode (and the consumer's decode) on a single core
+    return (fan_out(_docs(spark, sf_dir).select("doc_id"))
             .mapInPandas(synth, "doc_id long, payload binary"))
 
 
@@ -1415,7 +1420,9 @@ def _synth_avis(spark, sf_dir):
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "payload": [avi_bytes(int(d)) for d in pdf["doc_id"]]})
 
-    return (_docs(spark, sf_dir).select("doc_id")
+    # per-row codec work: a tiny one-file scan must not serialize the
+    # encode (and the consumer's decode) on a single core
+    return (fan_out(_docs(spark, sf_dir).select("doc_id"))
             .mapInPandas(synth, "doc_id long, payload binary"))
 
 
