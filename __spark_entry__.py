@@ -1311,6 +1311,25 @@ def q_image_neardup_pairs(spark, sf_dir):
     return image_neardup_pairs(hashes, PipelineConfig(), n_blocks=4)
 
 
+def q_image_dedup_decisions(spark, sf_dir):
+    """End-to-end cross-format image dedup: aHash over the REAL
+    decoders (the corpus cycles PPM/PNG/GIF/WebP containers) → Manku
+    block join → connected components → keep-first survivor per
+    cluster. Re-encodes of the same pixels collapse to one kept copy
+    regardless of container; the oracle rebuilds pairs closed-form and
+    runs a recursive-CTE components + min-keeps pass."""
+    hashes = image_hashes(_synth_images(spark, sf_dir))
+    pairs = image_neardup_pairs(hashes, PipelineConfig(), n_blocks=4)
+    edges = pairs.select(F.col("doc_id_a").alias("src"),
+                         F.col("doc_id_b").alias("dst"))
+    assign = connected_components(edges)
+    return assign.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.when(F.col("url") == F.col("cluster_id"), F.lit("keep"))
+        .otherwise(F.lit("delete")).alias("action"))
+
+
 AUD_Q_MOD = 61    # synthesized window amplitude modulus (8-bit PCM
 # quantum q/128 is a dyadic rational → the float energy comparison in
 # audio_fingerprint64 is EXACT, so the oracle can rebuild every bit in
@@ -1877,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "image_ahash": q_image_ahash,
         "image_neardup_pairs": q_image_neardup_pairs,
+        "image_dedup_decisions": q_image_dedup_decisions,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_neardup_pairs": q_audio_neardup_pairs,
         "video_neardup_pairs": q_video_neardup_pairs,
@@ -3278,6 +3298,63 @@ def oracle_sql() -> dict[str, str]:
                  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
           FROM hh a JOIN hh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        """,
+        # same recomputed hashes + brute-force pairs, then recursive
+        # components and the keep-first rule: min doc_id of each
+        # component keeps, every other member deletes — the end-to-end
+        # cross-format (PPM/PNG/GIF/WebP) image dedup contract
+        "image_dedup_decisions": f"""
+          WITH RECURSIVE cells AS (
+            SELECT doc_id, gy, gx, (gy * 8 + gx + 1) AS k,
+                   CASE WHEN doc_id % 20 = 1 THEN doc_id - 1
+                        WHEN doc_id % 20 = 2 THEN doc_id - 2
+                        ELSE doc_id END AS src,
+                   (doc_id % 20 = 2 AND gy = 0 AND gx = 0) AS pert
+            FROM documents, range(8) r1(gy), range(8) r2(gx)
+          ), v AS (
+            SELECT doc_id, gy, gx,
+                   CASE WHEN pert THEN (src * 7 + 97) % {IMG_V_MOD}
+                        ELSE ((src + 1) * k * k) % {IMG_V_MOD}
+                   END AS val
+            FROM cells
+          ), s AS (
+            SELECT doc_id, sum(val) AS tot FROM v GROUP BY 1
+          ), bits AS (
+            SELECT v.doc_id, gy, gx, (64 * val >= tot)::INT AS bit
+            FROM v JOIN s USING (doc_id)
+          ), h AS (
+            SELECT doc_id,
+                   sum(CASE WHEN bit = 1
+                       THEN CAST(1 AS HUGEINT) << (63 - (gy * 8 + gx))
+                       ELSE CAST(0 AS HUGEINT) END) AS uh
+            FROM bits GROUP BY 1
+          ), hh AS (
+            SELECT doc_id,
+                   CAST(uh - CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                             THEN CAST(1 AS HUGEINT) << 64
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+                     AS ahash
+            FROM h
+          ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+          ), edges AS (
+            SELECT da AS src, db AS dst FROM pairs
+            UNION SELECT db, da FROM pairs
+          ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+          reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT e.dst AS node, reach.r
+            FROM reach JOIN edges e ON e.src = reach.node
+          ), comp AS (
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY 1)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN doc_id = cluster_id THEN 'keep'
+                      ELSE 'delete' END AS action
+          FROM comp
         """,
         # closed-form rebuild of q_audio_fingerprint: the synthesized
         # 2-sample constant windows make the dyadic-exact energy test
