@@ -940,6 +940,51 @@ def q_png_decode_features(spark, sf_dir):
     return feats.select("doc_id", key.alias("feature_key"))
 
 
+def q_webp_decode_features(spark, sf_dir):
+    """REAL WebP-lossless decode driver-gated end-to-end: a solid-color
+    VP8L file is synthesized per doc (dims/color from doc_id; the
+    writer CYCLES its option paths — literal, LZ77 runs, color cache,
+    SUBTRACT_GREEN, every PREDICTOR mode, cross-color, palette with
+    bundling — so the gate exercises each decoder branch, not one
+    stream shape) and pushed through the Arrow-batched
+    ``extract_features`` where ``decode_image`` must entropy-decode
+    and inverse-transform the actual bits.  Lossless ⇒ the solid-color
+    pixel-statistics feature is closed-form from doc_id; one stub
+    fallback or one mis-inverted transform hash-mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from duplicate_finder_spark.operators.webpcodec import encode_webp
+
+    docs = fan_out(_docs(spark, sf_dir).select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 1 + i % 6, 1 + (i // 6) % 7
+                img = np.full((h, w, 3),
+                              [(i * 3) % 256, (i * 11) % 256,
+                               (i * 17) % 256], dtype=np.uint8)
+                kw = ({}, {"use_lz77": True}, {"cache_bits": 4},
+                      {"subtract_green": True}, {"predictor": i % 14},
+                      {"color_transform":
+                       (i % 256, (i * 5) % 256, (i * 9) % 256)},
+                      {"palette": True})[i % 7]
+                payloads.append(encode_webp(img, **kw))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_features(pages)
+    key = F.array_join(
+        F.transform("feature",
+                    lambda x: F.round(x * 1000000).cast("int")
+                    .cast("string")), ",")
+    return feats.select("doc_id", key.alias("feature_key"))
+
+
 def q_jpeg_decode_features(spark, sf_dir):
     """REAL baseline-JPEG decode driver-gated end-to-end: a solid-color
     JPEG is synthesized per doc (dims/color from doc_id; the encoder
@@ -1876,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_block_recall": q_simhash_block_recall,
         "multimodal_features": q_multimodal_features,
         "png_decode_features": q_png_decode_features,
+        "webp_decode_features": q_webp_decode_features,
         "jpeg_decode_features": q_jpeg_decode_features,
         "avi_frame_sample": q_avi_frame_sample,
         "wav_audio_features": q_wav_audio_features,
@@ -2869,6 +2915,26 @@ def oracle_sql() -> dict[str, str]:
                    1 + doc_id % 5 AS h, 1 + (doc_id // 5) % 5 AS w,
                    doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
                    (doc_id * 13) % 256 AS b
+            FROM documents)
+          SELECT doc_id,
+                 concat_ws(',',
+                   CAST(round(1000000 * round(h / 4096.0, 6)) AS INT),
+                   CAST(round(1000000 * round(w / 4096.0, 6)) AS INT),
+                   CAST(round(1000000 * round(r / 255.0, 6)) AS INT),
+                   CAST(round(1000000 * round(g / 255.0, 6)) AS INT),
+                   CAST(round(1000000 * round(b / 255.0, 6)) AS INT),
+                   0, 0, 0) AS feature_key
+          FROM f
+        """,
+        # lossless WebP: same closed-form solid-color feature key as
+        # the PNG gate (same no-tie-at-the-7th-decimal argument), over
+        # the writer's cycled option paths
+        "webp_decode_features": """
+          WITH f AS (
+            SELECT doc_id,
+                   1 + doc_id % 6 AS h, 1 + (doc_id // 6) % 7 AS w,
+                   (doc_id * 3) % 256 AS r, (doc_id * 11) % 256 AS g,
+                   (doc_id * 17) % 256 AS b
             FROM documents)
           SELECT doc_id,
                  concat_ws(',',
