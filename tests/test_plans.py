@@ -37,6 +37,19 @@ def parquet_pages(spark, small_pages, tmp_path_factory):
     return spark.read.parquet(path)
 
 
+def test_media_synth_fans_out_codec_work(spark):
+    """The driver's media corpora synthesize payloads with per-row
+    codec work (pure-Python PNG/GIF/WebP/JPEG encodes, and the
+    consumer's decodes) from a tiny one-file scan; without an explicit
+    round-robin fan-out all of it serializes on one task. Pin the
+    partition count at default parallelism for all three synths."""
+    import __spark_entry__ as e
+    goal = spark.sparkContext.defaultParallelism
+    for synth in (e._synth_images, e._synth_wavs, e._synth_avis):
+        df = synth(spark, "/root/testdata/sf0.001")
+        assert df.rdd.getNumPartitions() == goal, synth.__name__
+
+
 def test_size_filter_pushed_to_parquet_scan(parquet_pages):
     cfg = PipelineConfig(min_size=100, max_size=5000)
     # filter on a stored column (length() wouldn't push) — the glob
