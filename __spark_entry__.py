@@ -62,7 +62,7 @@ from duplicate_finder_spark.operators.curation import curation_funnel
 from duplicate_finder_spark.operators.exact_substr import (
     exact_substr_apply, exact_substr_spans)
 from duplicate_finder_spark.operators.sampling import (
-    stratified_sample, token_budget_sample)
+    softdedup_weights, stratified_sample, token_budget_sample)
 from duplicate_finder_spark.operators.paragraphs import (paragraph_dedup_apply,
                                                          paragraph_dedup_stats,
                                                          repetition_signals)
@@ -75,7 +75,8 @@ from duplicate_finder_spark.operators.blocklist import (
 from duplicate_finder_spark.operators.gopherquality import (
     gopher_quality_signals)
 from duplicate_finder_spark.operators.lm import lm_score
-from duplicate_finder_spark.operators.c4 import c4_clean
+from duplicate_finder_spark.operators.c4 import (c4_clean,
+                                                 dedup_lines_within_doc)
 from duplicate_finder_spark.operators.packing import pack_sequences
 from duplicate_finder_spark.operators.imagehash import (
     image_hashes, image_neardup_pairs)
@@ -1520,6 +1521,22 @@ C4_LINE_W = 8   # synthesized line width, words (the corpus has no
 # closed-form from doc_id — the same pattern as the codec queries)
 
 
+def q_line_dedup_within_doc(spark, sf_dir):
+    """Within-doc repeated-line removal (keep the first occurrence in
+    order): a join-free codegen'd projection — array_distinct keeps
+    first occurrences — oracled against a per-line unnest + min(pos)
+    grouping + ordered string_agg rebuild in DuckDB."""
+    return dedup_lines_within_doc(_docs(spark, sf_dir))
+
+
+def q_softdedup_weights(spark, sf_dir):
+    """Duplication-aware sampling weights over the self-union corpus
+    (every text appears at least twice): weight = 1/exact-multiplicity
+    — the reweight-instead-of-remove soft-dedup policy. Partial-agg
+    multiplicity + AQE-skew-splittable equi-join back on the hash."""
+    return softdedup_weights(_self_union(_docs(spark, sf_dir)))
+
+
 def q_c4_line_filters(spark, sf_dir):
     """C4 §2.2 cleanup over pages with synthesized line structure:
     every 8-word chunk becomes a line, terminal '.' omitted when
@@ -1939,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "curation_funnel_full": q_curation_funnel_full,
         "c4_line_filters": q_c4_line_filters,
+        "line_dedup_within_doc": q_line_dedup_within_doc,
+        "softdedup_weights": q_softdedup_weights,
         "sequence_packing": q_sequence_packing,
         "image_ahash": q_image_ahash,
         "image_neardup_pairs": q_image_neardup_pairs,
@@ -3591,6 +3610,42 @@ def oracle_sql() -> dict[str, str]:
         # full mirror of q_c4_line_filters: same synthesized line
         # structure (8-word chunks, closed-form punctuation/boilerplate
         # injections from doc_id) and the same line/page gates
+        # per-line unnest with positions, first occurrence by min(pos),
+        # ordered string_agg rebuild — must equal array_distinct's
+        # keep-first-in-order contract exactly, clean_text included
+        "line_dedup_within_doc": """
+          WITH l AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1)
+                     AS pos
+            FROM documents
+          ), firsts AS (
+            SELECT doc_id, line, min(pos) AS p FROM l GROUP BY 1, 2
+          ), agg AS (
+            SELECT doc_id, count(*) AS n_kept_lines,
+                   string_agg(line, chr(10) ORDER BY p) AS clean_text
+            FROM firsts GROUP BY 1
+          ), tot AS (
+            SELECT doc_id,
+                   len(string_split(text, chr(10)))::BIGINT AS n_lines
+            FROM documents)
+          SELECT t.doc_id, t.n_lines,
+                 a.n_kept_lines::BIGINT AS n_kept_lines, a.clean_text
+          FROM tot t JOIN agg a USING (doc_id)
+        """,
+        # exact multiplicity over the doubled corpus; weight rounding
+        # matches Spark's HALF_UP on positives
+        "softdedup_weights": f"""
+          WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {SHIFT}, text FROM documents
+          ), c AS (SELECT text, count(*) AS k FROM u GROUP BY 1)
+          SELECT u.doc_id, c.k::BIGINT AS dup_count,
+                 round(1.0 / c.k, 6) AS weight
+          FROM u JOIN c USING (text)
+        """,
         "c4_line_filters": r"""
           WITH words AS (
             SELECT doc_id,

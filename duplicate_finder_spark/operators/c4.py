@@ -90,3 +90,25 @@ def c4_clean(docs: DataFrame,
                    F.array_join(F.transform(kept, F.trim), "\n")
                    .alias("clean_text")))
     return out.filter(F.col("n_kept_lines") >= min_kept_lines)
+
+
+def dedup_lines_within_doc(docs: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence in order (the within-doc cousin of the corpus-level
+    paragraph dedup in operators/paragraphs.py — boilerplate nav bars,
+    cookie banners, and footer text repeat inside one scraped page as
+    often as across pages).  → (id, n_lines, n_kept_lines, clean_text).
+
+    Expression-only and join-free: ``array_distinct`` keeps first
+    occurrences in order, so the whole operator is a codegen'd
+    projection — no shuffle, no Python, safe at any corpus size.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(lines)
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"))

@@ -79,3 +79,36 @@ def token_budget_sample(docs: DataFrame, strata_col: str,
                         n_tokens_col.cast("long").alias("n_tokens"))
             .withColumn("cum_tokens", F.sum("n_tokens").over(w))
             .filter(F.col("cum_tokens") <= budget_tokens))
+
+
+def softdedup_weights(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      round_to: int = 6) -> DataFrame:
+    """Duplication-aware sampling weights — reweight instead of remove.
+
+    The soft alternative to hard exact dedup discussed in recent
+    pretraining-data work: keep every copy but weight each document by
+    the inverse of its exact-content multiplicity, so the k copies of
+    one text jointly contribute ONE document's worth of sampling mass
+    (uniform coverage of unique content without deleting rows — useful
+    when downstream stages want the duplicate signal, e.g. commonness
+    features or citation counting). → (id, dup_count, weight).
+
+    Scale shape: multiplicity via groupBy(sha2).count — partial (map-
+    side) aggregation bounds hot hashes before the exchange — then one
+    equi-join back on the 32-byte hash; a pathological billion-copy
+    text is split by AQE's skew-join handling, which a window-count
+    over the hash could not do (the window would pin the whole group
+    on one reducer). Weight is rounded so the value is engine-portable
+    (the DuckDB oracle reproduces it digit-for-digit).
+    """
+    from duplicate_finder_spark.functions.hashing import content_sha256
+    h = content_sha256(text_col)
+    counts = (docs.select(h.alias("_h"))
+              .groupBy("_h").agg(F.count(F.lit(1)).alias("dup_count")))
+    return (docs.select(F.col(id_col), h.alias("_h"))
+            .join(counts, "_h")
+            .select(F.col(id_col),
+                    F.col("dup_count").cast("long").alias("dup_count"),
+                    F.round(F.lit(1.0) / F.col("dup_count"), round_to)
+                    .alias("weight")))

@@ -56,3 +56,33 @@ def test_blank_lines_ignored_in_counts(spark):
     text = "\n\nfirst real sentence is kept.\n\nsecond one is kept too.\n"
     got = _run(spark, [(1, text)], min_kept_lines=2)
     assert (got[1].n_lines, got[1].n_kept_lines) == (2, 2)
+
+
+def test_line_dedup_within_doc_keeps_first_in_order(spark):
+    from duplicate_finder_spark.operators.c4 import dedup_lines_within_doc
+    rows = [
+        (1, "nav bar\nreal content one.\nnav bar\nreal content two.\n"
+            "nav bar"),
+        (2, "a\nb\nc"),           # nothing repeated
+        (3, ""),                  # empty text = one empty line
+        (4, "x\nx\nx\nx"),        # all one line
+    ]
+    out = {r.doc_id: r for r in
+           dedup_lines_within_doc(
+               spark.createDataFrame(rows, "doc_id long, text string"))
+           .collect()}
+    assert out[1].clean_text == "nav bar\nreal content one.\nreal content two."
+    assert (out[1].n_lines, out[1].n_kept_lines) == (5, 3)
+    assert out[2].clean_text == "a\nb\nc" and out[2].n_kept_lines == 3
+    assert (out[3].n_lines, out[3].n_kept_lines) == (1, 1)
+    assert out[4].clean_text == "x" and out[4].n_lines == 4
+
+
+def test_line_dedup_plan_is_shuffle_and_python_free(spark):
+    from duplicate_finder_spark.operators.c4 import dedup_lines_within_doc
+    df = dedup_lines_within_doc(
+        spark.createDataFrame([(1, "a\nb")], "doc_id long, text string"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

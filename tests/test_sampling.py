@@ -81,3 +81,31 @@ class TestTokenBudget:
     def test_rejects_negative_budget(self, spark):
         with pytest.raises(ValueError):
             token_budget_sample(_df(spark, ROWS), "lang", -1, F.col("nt"))
+
+
+class TestSoftDedupWeights:
+    def test_weights_are_inverse_multiplicity(self, spark):
+        from duplicate_finder_spark.operators.sampling import \
+            softdedup_weights
+        rows = [(1, "same"), (2, "same"), (3, "same"),
+                (4, "unique"), (5, "other"), (6, "other")]
+        out = {r.doc_id: r for r in softdedup_weights(
+            spark.createDataFrame(rows, "doc_id long, text string"))
+            .collect()}
+        assert [out[i].dup_count for i in (1, 4, 5)] == [3, 1, 2]
+        assert out[1].weight == 0.333333        # round(1/3, 6)
+        assert out[4].weight == 1.0
+        assert out[5].weight == 0.5
+        # mass of each text's copies sums to ~1 doc
+        assert abs(sum(out[i].weight for i in (1, 2, 3)) - 1) < 1e-5
+
+    def test_multiplicity_aggregates_before_join(self, spark):
+        from duplicate_finder_spark.operators.sampling import \
+            softdedup_weights
+        df = softdedup_weights(spark.createDataFrame(
+            [(1, "t")], "doc_id long, text string"))
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        # partial (map-side) aggregation must bound hot hashes before
+        # any exchange
+        assert "HashAggregate" in plan and "EvalPython" not in plan
