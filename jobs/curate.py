@@ -6,7 +6,8 @@
 
 The training-data complement to jobs/dedup.py: (optional) URL-domain
 blocklist + per-host cap + badword blocklist → quality gate →
-benchmark decontamination → CCNet paragraph dedup → (optional)
+benchmark decontamination → (optional) within-doc repeated-line
+removal → CCNet paragraph dedup → (optional)
 ExactSubstr span removal → (optional) SemDeDup semantic dedup over a
 supplied embedding table → (optional) per-stratum token-budget
 sampling → (optional) DSIR importance selection against a trusted
@@ -142,6 +143,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--mix-budget", type=int, default=0,
                    help="training-run token budget for --mix-alpha")
     p.add_argument("--mix-source-col", default="source")
+    p.add_argument("--dedup-lines", action="store_true",
+                   help="remove REPEATED lines within each doc (keep "
+                        "first occurrence) before the corpus-level "
+                        "paragraph dedup (operators/c4.py)")
+    p.add_argument("--softdedup-weights", action="store_true",
+                   help="artifact: write per-doc duplication-aware "
+                        "sampling weights (1/exact-multiplicity) over "
+                        "the surviving corpus as the softdedup table "
+                        "(operators/sampling.py)")
     p.add_argument("--input-id", default=None,
                    help="stable id for the input snapshot (stage-cache "
                         "key); defaults to the input path")
@@ -161,7 +171,8 @@ def _fingerprint(args: argparse.Namespace) -> str:
             "emb_id_col", "emb_vec_col", "semantic_threshold",
             "semantic_cells", "dsir_target", "dsir_k", "dsir_buckets",
             "bpe_merges", "mix_alpha", "mix_budget", "mix_source_col",
-            "domain_blocklist", "badwords")},
+            "domain_blocklist", "badwords", "dedup_lines",
+            "softdedup_weights")},
         sort_keys=True)
     base = args.input_id or args.input
     return hashlib.sha256(f"{base}|{key}".encode()).hexdigest()[:16]
@@ -280,6 +291,13 @@ def main(argv: list[str] | None = None) -> int:
             gate = staged("lm_filtered", _lm)
         decon = staged("decontaminated", lambda: decontaminate(
             gate, ev.select(idc, txc), args.contam_n, idc, txc))
+        if args.dedup_lines:
+            from duplicate_finder_spark.operators.c4 import (
+                dedup_lines_within_doc)
+            decon = staged("line_deduped", lambda inner=decon:
+                           dedup_lines_within_doc(inner, idc, txc)
+                           .select(idc,
+                                   F.col("clean_text").alias(txc)))
         para = staged("para_deduped", lambda: paragraph_dedup_apply(
             decon, args.para_w, idc, txc)
             .withColumnRenamed("clean_text", txc))
@@ -344,6 +362,11 @@ def main(argv: list[str] | None = None) -> int:
                      merges_df.orderBy("merge_rank").collect()]
             staged("bpe_vocab", lambda inner=cur: bpe_vocab(
                 word_counts(inner, text_col=txc), pairs))
+        if args.softdedup_weights:
+            from duplicate_finder_spark.operators.sampling import (
+                softdedup_weights)
+            staged("softdedup", lambda inner=cur:
+                   softdedup_weights(inner, idc, txc))
         if args.mix_alpha:
             from duplicate_finder_spark.operators.mixture import (
                 mixture_weights)

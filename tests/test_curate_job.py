@@ -389,3 +389,77 @@ def test_lm_target_requires_threshold(tmp_path: Path) -> None:
     import curate
     assert curate.main(["--input", "x", "--warehouse", "y",
                         "--eval-mod", "10", "--lm-target", "t"]) == 2
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit on PATH")
+def test_curate_job_line_dedup_and_softdedup(spark, tmp_path: Path) -> None:
+    """--dedup-lines strips within-doc repeated lines before paragraph
+    dedup and --softdedup-weights writes the 1/multiplicity artifact
+    table over the surviving corpus; both show in the funnel."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant a repeated banner line inside every doc and an exact text
+    # clone for every doc_id % 10 == 1
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY."
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit(banner + "\n"), F.col("text"),
+                 F.lit("\n" + banner)).alias("text"))
+    clones = (planted.filter(F.col("doc_id") % 10 == 1)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      "text"))
+    inp = str(tmp_path / "docs")
+    planted.unionByName(clones).write.parquet(inp)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from make_pyfiles_zip import build_zip
+    zip_path = build_zip(tmp_path)
+    wh = str(tmp_path / "wh")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(REPO / "jobs" / "curate.py"),
+         "--input", inp, "--warehouse", wh,
+         "--eval-mod", "50", "--eval-rem", "7",
+         "--dedup-lines", "--softdedup-weights",
+         "--input-id", "docs-v3"],
+        capture_output=True, text=True, env=env,
+        cwd=str(tmp_path), timeout=420)
+    assert res.returncode == 0, res.stderr[-3000:]
+    out = json.loads([ln for ln in res.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    stages = [s["stage"] for s in out["funnel"]]
+    assert stages == ["quality", "decontaminated", "line_deduped",
+                      "para_deduped", "softdedup"]
+
+    from duplicate_finder_spark.warehouse import get_warehouse
+    whh = get_warehouse(spark, wh)
+    curated = whh.read("curated")
+    # the duplicated banner survives exactly once per doc
+    two_banners = curated.filter(
+        F.size(F.filter(F.split("text", "\n"),
+                        lambda ln: ln == banner)) > 1).count()
+    assert two_banners == 0
+    assert curated.filter(F.col("text").contains(banner)).count() > 0
+    # softdedup artifact: one weight row per curated doc, and the
+    # table matches a recompute over the CURATED corpus — i.e. the
+    # stage ran over the funnel's final survivors, not an earlier
+    # stage's rows (paragraph dedup upstream breaks exact clone
+    # pairs, so multiplicity here reflects post-funnel content)
+    soft_name = [t for t in whh.tables()
+                 if t.startswith("softdedup_")][0]
+    soft = whh.read(soft_name)
+    assert soft.count() == curated.count()
+    from duplicate_finder_spark.operators.sampling import \
+        softdedup_weights as _sw
+    expected = {r.doc_id: (r.dup_count, r.weight) for r in
+                _sw(curated.select("doc_id", "text")).collect()}
+    got = {r.doc_id: (r.dup_count, r.weight) for r in soft.collect()}
+    assert got == expected
+    assert all(0 < w <= 1 for _, w in got.values())
