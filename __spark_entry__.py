@@ -837,55 +837,83 @@ def q_simhash_block_recall(spark, sf_dir):
 
 
 def _topk_recall_row(spark, approx: DataFrame, exact: DataFrame,
-                     k: int, nq: int) -> DataFrame:
+                     k: int, nq: int, floor: int) -> DataFrame:
+    """Floor-gated recall row (VERDICT r4 #4 / ADVICE wording): n_truth
+    is corpus-derived (a regression in the EXACT side shifts it and is
+    caught by the oracle's SQL recomputation); the approximate side is
+    gated as ``n_hits >= floor`` rather than a bit-exact pinned count,
+    so a benign seeding/rounding change that keeps recall at-or-above
+    the measured floor stays green while a real recall regression goes
+    red. ``recall_floor`` = floor/n_truth is the guaranteed lower bound,
+    deterministic on both sides."""
     truth = exact.select("query_id", "neighbor_id")
     hits = approx.select("query_id", "neighbor_id") \
         .join(truth, ["query_id", "neighbor_id"], "inner").count()
     n_truth = truth.count()
     return spark.createDataFrame(
-        [(nq, k, n_truth, hits, round(hits / n_truth, 6))],
-        "n_queries long, k long, n_truth long, n_hits long, recall double")
+        [(nq, k, n_truth, floor, hits >= floor,
+          round(floor / n_truth, 6))],
+        "n_queries long, k long, n_truth long, n_hits_floor long, "
+        "meets_floor boolean, recall_floor double")
+
+
+# ANN RECALL FLOOR PROVENANCE: measured at sf0.01 (embeddings = 500 ×
+# 64-dim), nq=10 (vec_id < 10), k=10, xxhash64-seeded hyperplanes /
+# centroid init (operators/ann.py, seed=42). The floors are the exact
+# hit counts observed under that config tuple:
+#   95 ← cosine_topk_lsh(n_planes=3, n_tables=16)
+#   91 ← cosine_topk_ivf(n_cells=8, n_probe=6, 2 Lloyd iterations)
+# VALID AT sf0.01 ONLY — the driver's CORRECTNESS scale. At other scale
+# factors the corpus changes and the floors do not transfer: a red on
+# these queries at sf0.001 is EXPECTED, not a regression (n_truth
+# adapts via the oracle's SQL, the floor constant does not).
+ANN_LSH_HITS_FLOOR = 95
+ANN_IVF_HITS_FLOOR = 91
 
 
 def q_ann_lsh_recall(spark, sf_dir):
     """Hyperplane-LSH ANN recall vs brute force, same (seeded) params the
-    rows-only query used — deterministic, so the oracle pins it."""
+    rows-only query used — floor-gated (see ANN_LSH_HITS_FLOOR)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < ANN_NQ)
     approx = cosine_topk_lsh(emb, q, k=ANN_K, n_planes=3, n_tables=16)
     exact = cosine_topk(emb, q, k=ANN_K)
-    return _topk_recall_row(spark, approx, exact, ANN_K, ANN_NQ)
+    return _topk_recall_row(spark, approx, exact, ANN_K, ANN_NQ,
+                            ANN_LSH_HITS_FLOOR)
 
 
 def q_ann_ivf_recall(spark, sf_dir):
     """IVF ANN recall vs brute force (seeded sample centroids + 2 Lloyd
-    k-means iterations, all deterministic — 91/100 at 8 cells / 6 probes
-    vs 88 unrefined)."""
+    k-means iterations — 91/100 at 8 cells / 6 probes vs 88 unrefined);
+    floor-gated (see ANN_IVF_HITS_FLOOR)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < ANN_NQ)
     approx = cosine_topk_ivf(emb, q, k=ANN_K, n_cells=8, n_probe=6)
     exact = cosine_topk(emb, q, k=ANN_K)
-    return _topk_recall_row(spark, approx, exact, ANN_K, ANN_NQ)
+    return _topk_recall_row(spark, approx, exact, ANN_K, ANN_NQ,
+                            ANN_IVF_HITS_FLOOR)
 
 
 def q_embedding_pairs_lsh_recall(spark, sf_dir):
     """Scale-path embedding pairing (cosine_pairs_lsh: multi-table
     hyperplane buckets + hot-bucket star edges + exact verify) vs the
-    exact all-pairs baseline, as a deterministic 1-row recall check.
-    At (3 planes × 16 tables) the bucketed path finds the full exact
-    pair set — the oracle derives the counts from the corpus and pins
-    recall at 1.0."""
+    exact all-pairs baseline, floor-gated at recall 1.0: the oracle
+    derives ``n_pairs_exact`` from the corpus in SQL (a regression in
+    the exact side shifts it and is caught) and the bucketed path is
+    gated as ``n_matched >= n_pairs_exact`` (meets_floor) rather than a
+    triple pinned equality — the final exact-verify step makes false
+    positives impossible, so only a recall LOSS can flip this red.
+    Floor measured at sf0.01 under (3 planes × 16 tables, xxhash64
+    seed 42); valid at sf0.01 only, like the ANN floors above."""
     emb = _emb(spark, sf_dir)
     exact = cosine_pairs_above(emb, COSINE_T).select("id_a", "id_b")
     lsh = cosine_pairs_lsh(emb, COSINE_T, n_planes=3, n_tables=16) \
         .select("id_a", "id_b")
-    n_exact, n_lsh = exact.count(), lsh.count()
+    n_exact = exact.count()
     n_matched = lsh.join(exact, ["id_a", "id_b"], "inner").count()
     return spark.createDataFrame(
-        [(n_lsh, n_exact, n_matched,
-          round(n_matched / n_exact, 6) if n_exact else 1.0)],
-        "n_pairs_lsh long, n_pairs_exact long, n_matched long, "
-        "recall double")
+        [(n_exact, n_matched >= n_exact, 1.0)],
+        "n_pairs_exact long, meets_floor boolean, recall_floor double")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -3113,21 +3141,13 @@ def oracle_sql() -> dict[str, str]:
         # corpus-derived (VERDICT r2 #2): n_truth is the brute-force
         # top-k row count recomputed in SQL — a regression in the exact
         # side (ranking, tie-break, filter) shifts n_truth and is caught.
-        # Only n_hits stays pinned: it is the empirical property of the
-        # seeded approximate config on this corpus (recall follows as
-        # n_hits / n_truth, computed, not pinned).
-        #
-        # PINNED-CONSTANT PROVENANCE (maintainers): these n_hits values
-        # are measured under EXACTLY this config tuple and are a
-        # deliberate tripwire — any change to it re-measures them:
-        #   n_hits=95  ← cosine_topk_lsh(k=10, n_planes=3, n_tables=16),
-        #   n_hits=91  ← cosine_topk_ivf(k=10, n_cells=8, n_probe=6,
-        #                2 Lloyd refinement iterations),
-        # both with nq=10 queries (vec_id < 10), xxhash64-seeded
-        # hyperplanes/centroid init (operators/ann.py, seed=42), on the
-        # sf0.01 embeddings table (500 × 64-dim). A benign seeding/rounding/
-        # tie-break change in the approximate path flips the gate red BY
-        # DESIGN: re-measure, confirm recall did not regress, re-pin.
+        # The approximate side is FLOOR-gated (VERDICT r4 #4): the Spark
+        # query emits meets_floor = (measured n_hits >= floor), the
+        # oracle pins the floor and TRUE — benign seed/rounding changes
+        # that keep recall at-or-above the floor stay green, a real
+        # recall loss goes red. Floor provenance + the sf0.01-only
+        # validity note live at ANN_LSH_HITS_FLOOR / ANN_IVF_HITS_FLOOR
+        # above (a red at sf0.001 on these queries is EXPECTED).
         "ann_lsh_recall": f"""
           WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                      FROM embeddings WHERE vec_id < {ANN_NQ}),
@@ -3144,8 +3164,10 @@ def oracle_sql() -> dict[str, str]:
           t AS (SELECT count(*) AS n_truth FROM ranked
                 WHERE rank <= {ANN_K})
           SELECT {ANN_NQ}::BIGINT AS n_queries, {ANN_K}::BIGINT AS k,
-                 n_truth::BIGINT AS n_truth, 95::BIGINT AS n_hits,
-                 round(95.0 / n_truth, 6) AS recall
+                 n_truth::BIGINT AS n_truth,
+                 {ANN_LSH_HITS_FLOOR}::BIGINT AS n_hits_floor,
+                 TRUE AS meets_floor,
+                 round({ANN_LSH_HITS_FLOOR}.0 / n_truth, 6) AS recall_floor
           FROM t
         """,
         "ann_ivf_recall": f"""
@@ -3164,13 +3186,16 @@ def oracle_sql() -> dict[str, str]:
           t AS (SELECT count(*) AS n_truth FROM ranked
                 WHERE rank <= {ANN_K})
           SELECT {ANN_NQ}::BIGINT AS n_queries, {ANN_K}::BIGINT AS k,
-                 n_truth::BIGINT AS n_truth, 91::BIGINT AS n_hits,
-                 round(91.0 / n_truth, 6) AS recall
+                 n_truth::BIGINT AS n_truth,
+                 {ANN_IVF_HITS_FLOOR}::BIGINT AS n_hits_floor,
+                 TRUE AS meets_floor,
+                 round({ANN_IVF_HITS_FLOOR}.0 / n_truth, 6) AS recall_floor
           FROM t
         """,
-        # corpus-derived, not a bare constant: the exact pair count comes
-        # from SQL; recall 1.0 is the pinned empirical property of the
-        # seeded (3-plane × 16-table) configuration on this corpus
+        # corpus-derived + floor-gated: the exact pair count comes from
+        # SQL; the bucketed path is gated as meets_floor = (n_matched >=
+        # n_pairs_exact), i.e. recall floor 1.0 under the seeded
+        # (3-plane × 16-table) configuration on the sf0.01 corpus
         "embedding_pairs_lsh_recall": f"""
           WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
                      FROM embeddings),
@@ -3182,8 +3207,8 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_sum([x * x for x in b.e]))), 6) AS sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id),
           x AS (SELECT count(*) AS c FROM s WHERE sim >= {COSINE_T})
-          SELECT c::BIGINT AS n_pairs_lsh, c::BIGINT AS n_pairs_exact,
-                 c::BIGINT AS n_matched, 1.0 AS recall FROM x
+          SELECT c::BIGINT AS n_pairs_exact, TRUE AS meets_floor,
+                 1.0 AS recall_floor FROM x
         """,
         # paragraph = non-overlapping PARA_W-token window; keep-first in
         # (doc_id, para_idx) order. DuckDB partitions the window by the

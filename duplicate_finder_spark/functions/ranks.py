@@ -73,6 +73,18 @@ def global_rank(df: DataFrame, order: list[Column], *,
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # pid consistency between the counts branch and the rank branch
+    # requires the range Exchange to be computed once and fed to both —
+    # that is Catalyst's ReuseExchange rule. If it is disabled the two
+    # branches may sample different range boundaries and the offsets
+    # would shift the wrong partitions' ranks: fail loudly rather than
+    # return silently wrong numbers.
+    if spark.conf.get("spark.sql.exchangeReuseEnabled",
+                      "true").lower() != "true":
+        raise RuntimeError(
+            "global_rank requires spark.sql.exchangeReuseEnabled=true "
+            "(pid-keyed offset join depends on the range exchange being "
+            "computed once for both branches)")
 
     ranged = (df.repartitionByRange(num_partitions, *order)
               .withColumn(_PID, F.spark_partition_id()))
@@ -90,5 +102,5 @@ def global_rank(df: DataFrame, order: list[Column], *,
     return (ranged.withColumn(_LOCAL, F.row_number().over(w))
             .join(F.broadcast(offs), _PID)
             .withColumn(out_col,
-                        (F.col(_LOCAL) + F.col(_OFF)).cast("int"))
+                        (F.col(_LOCAL) + F.col(_OFF)).cast("long"))
             .drop(_PID, _LOCAL, _OFF))

@@ -46,8 +46,17 @@ def domain_chain(host: Column, max_labels: int = 10) -> Column:
     ``a.b.c`` → [a.b.c, b.c, c] (capped at ``max_labels`` labels —
     longer hosts contribute their last ``max_labels`` suffixes, which
     over- rather than under-matches nothing: every real blocklist
-    entry is far shorter)."""
-    parts = F.split(host, r"\.")
+    entry is far shorter).
+
+    The host is normalized first: FQDN trailing dots (``tracker.
+    example.`` — the DNS root-anchored form) and empty labels from
+    doubled dots are stripped, so every suffix compares equal to the
+    blocklist's dotless entries instead of silently never matching.
+    """
+    parts = F.split(
+        F.regexp_replace(F.regexp_replace(host, r"\.{2,}", "."),
+                         r"^\.+|\.+$", ""),
+        r"\.")
     n = F.size(parts)
     return F.filter(
         F.transform(

@@ -141,6 +141,14 @@ def curation_funnel(docs: DataFrame, eval_pred: Column,
         stages.append((cur, "gopher_rules", text_col))
 
     if lm_target is not None:
+        if lm_max_mean_nll <= 0:
+            # mirrors the jobs/curate.py CLI guard: the threshold is in
+            # integer micro-nats, so a zero/negative cut would silently
+            # drop essentially every document.
+            raise ValueError(
+                "lm_target set but lm_max_mean_nll <= 0: the perplexity "
+                "gate needs a positive micro-nat threshold (e.g. the "
+                "target corpus's observed p60 mean_nll_micro)")
         keep = (lm_score(cur, lm_target, lm_buckets, id_col, text_col)
                 .filter(F.col("mean_nll_micro") <= lm_max_mean_nll)
                 .select(id_col))

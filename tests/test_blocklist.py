@@ -21,6 +21,34 @@ def test_domain_chain_suffixes(spark):
     assert list(out["c4"]) == ["x3.x4", "x4"]
 
 
+def test_domain_chain_normalizes_fqdn_dots(spark):
+    """ADVICE r4: a DNS-root-anchored host ('tracker.example.') must
+    produce the same suffix chain as the dotless form, so blocklist
+    entries match FQDN-form URLs; doubled and leading dots likewise."""
+    out = spark.range(1).select(
+        domain_chain(F.lit("tracker.example.")).alias("c1"),
+        domain_chain(F.lit("a..b.c")).alias("c2"),
+        domain_chain(F.lit(".x.y")).alias("c3"),
+        domain_chain(F.lit("...")).alias("c4"),
+    ).first()
+    assert list(out["c1"]) == ["tracker.example", "example"]
+    assert list(out["c2"]) == ["a.b.c", "b.c", "c"]
+    assert list(out["c3"]) == ["x.y", "y"]
+    assert list(out["c4"]) == []
+
+
+def test_blocklist_catches_fqdn_trailing_dot(spark):
+    bl = spark.createDataFrame([("tracker.example",)], "domain string")
+    pages = spark.createDataFrame(
+        [(1, "https://tracker.example./y"),
+         (2, "https://ads.tracker.example./x")],
+        "doc_id long, url string")
+    out = {r["url"]: r["blocked_by"]
+           for r in domain_blocklist_filter(pages, bl).collect()}
+    assert out["https://tracker.example./y"] == "tracker.example"
+    assert out["https://ads.tracker.example./x"] == "tracker.example"
+
+
 def _pages(spark):
     rows = [(1, "https://ads.tracker.example/x"),
             (2, "https://tracker.example/y"),

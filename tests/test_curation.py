@@ -90,6 +90,22 @@ def test_optional_gopher_and_lm_stages(spark):
     assert st["para_deduped"].n_docs == 1
 
 
+def test_lm_target_without_threshold_raises(spark):
+    """ADVICE r4: the library API must mirror the CLI guard — lm_target
+    with the default (0) micro-nat threshold would silently drop
+    essentially every document."""
+    import pytest
+    docs = spark.createDataFrame([(1, "the data " * 15)],
+                                 "doc_id long, text string")
+    target = spark.createDataFrame([(9, "the data " * 15)],
+                                   "doc_id long, text string")
+    with pytest.raises(ValueError, match="lm_max_mean_nll"):
+        curation_funnel(docs, F.lit(False), lm_target=target)
+    with pytest.raises(ValueError, match="lm_max_mean_nll"):
+        curation_funnel(docs, F.lit(False), lm_target=target,
+                        lm_max_mean_nll=-5)
+
+
 def test_default_funnel_shape_unchanged(spark):
     txt = "the words here repeat rarely " * 5
     st = _run(spark, [(1, txt)], min_tokens=20)

@@ -46,6 +46,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from duplicate_finder_spark.session import get_spark
 
+    # Fail loudly on unknown names BEFORE starting Spark: a typo (or a
+    # --flag mistaken for a name) must not filter every query out and
+    # then report "all oracle checks passed" vacuously.
+    known = set(entrymod.queries())
+    unknown = sorted(only - known)
+    if unknown:
+        print("ERROR: unknown query name(s): " + ", ".join(unknown))
+        print("valid names:\n  " + "\n  ".join(sorted(known)))
+        sys.exit(2)
+
     spark = get_spark(app_name="oracle-check", master="local[8]",
                       shuffle_partitions=8)
     con = duckdb.connect()
@@ -59,9 +69,11 @@ def main() -> None:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -106,7 +118,10 @@ def main() -> None:
     if failures:
         print("FAILURES:", ", ".join(failures))
         sys.exit(1)
-    print("all oracle checks passed")
+    if n_ran == 0:
+        print("ERROR: zero queries ran — refusing to report success")
+        sys.exit(2)
+    print(f"all oracle checks passed ({n_ran} queries)")
 
 
 if __name__ == "__main__":
