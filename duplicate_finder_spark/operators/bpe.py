@@ -120,6 +120,111 @@ def _pair_counts(words: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").cast("long").alias("cnt")))
 
 
+def _triple_counts(words: DataFrame) -> DataFrame:
+    """(s, cnt) → (t1, t2, t3, cnt): adjacent-symbol TRIPLE counts,
+    weighted by word count — the tight upper bound on the count any
+    pair NEWLY CREATED by a merge can have (see the batching proof in
+    :func:`bpe_train`): merging (a,b) can create (x, ab) at no more
+    than tripcnt(x,a,b) sites and (ab, y) at no more than
+    tripcnt(a,b,y) — including merged-merged pairs like (ab, cd),
+    whose every site "a b c d" is a tripcnt(a,b,c) occurrence."""
+    syms = F.split(F.trim("s"), "  ")
+    n = F.size(syms)
+    trips = F.when(n > 2, F.arrays_zip(
+        F.slice(syms, 1, n - 2).alias("t1"),
+        F.slice(syms, 2, n - 2).alias("t2"),
+        F.slice(syms, 3, n - 2).alias("t3"))) \
+        .otherwise(F.array().cast(
+            "array<struct<t1:string,t2:string,t3:string>>"))
+    return (words.select(F.explode(trips).alias("t"), "cnt")
+            .groupBy(F.col("t.t1").alias("t1"),
+                     F.col("t.t2").alias("t2"),
+                     F.col("t.t3").alias("t3"))
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def _accept_prefix(top: list, newmax: dict, trips: set, m_exists: set,
+                   cap: int) -> list:
+    """The maximal batch of top-ranked candidates provably identical
+    to sequential merging (see :func:`bpe_train` for the argument).
+
+    ``top`` is globally ordered by (cnt desc, left asc, right asc);
+    accept candidates in order, STOPPING (never skip-and-continue —
+    a skipped candidate may still be the true next argmax) at the
+    first one whose count an accepted merge could have changed, or
+    that does not strictly out-count every pair an accepted merge
+    could newly create (``newmax``), or that follows one whose merged
+    symbol already existed in the vocabulary (``m_exists`` —
+    creating more of an existing symbol can boost counts of unseen
+    existing pairs).
+
+    The count-interaction test is positional AND occurrence-level,
+    not mere symbol sharing: merging (a,b) destroys ONLY pairs of
+    shape (x,a) — the a consumed from the right side — and (b,y) —
+    the b consumed from the left — and only at sites where the full
+    triple "x a b" / "a b y" actually occurs. Pairs sharing a LEFT
+    with a (a,z) or a RIGHT with b (z,b) sit on occurrences whose a
+    is not followed by b / whose b is not preceded by a, so their
+    counts are exactly invariant and their replaces commute with the
+    accepted merge's; a cross-position share (c = (x,a) or (b,y))
+    is ALSO invariant when the corpus simply contains no such triple
+    (``trips`` — the pre-batch triple slice over candidate symbols;
+    earlier accepted merges can only DESTROY such triples, never
+    create them, since created symbols are fenced out of the batch,
+    so a pre-batch zero stays zero). A candidate therefore conflicts
+    iff a positive-count triple witnesses its destruction by an
+    accepted merge, or any of its three symbol strings (left, right,
+    merged) touches an accepted MERGED symbol (creation-side
+    interaction, including two merges deriving the same merged
+    string from different splits)."""
+    accepted: list[tuple[str, str, int]] = []
+    lefts: set[str] = set()
+    rights: set[str] = set()
+    ms: set[str] = set()
+    maxnew = -1
+    for r in top[:cap]:
+        left, right, cnt = r["left"], r["right"], r["cnt"]
+        merged = left + right
+        if accepted:
+            conflict = (left in ms or right in ms
+                        or merged in ms or merged in lefts
+                        or merged in rights)
+            if not conflict:
+                for al, ar, _ in accepted:
+                    if ((right == al and (left, al, ar) in trips)
+                            or (left == ar and (al, ar, right) in trips)):
+                        conflict = True
+                        break
+            if conflict or cnt <= maxnew:
+                break
+        accepted.append((left, right, cnt))
+        lefts.add(left)
+        rights.add(right)
+        ms.add(merged)
+        maxnew = max(maxnew, newmax.get((left, right), 0))
+        if merged in m_exists:
+            break
+    return accepted
+
+
+def _pinned_rdd_ids(sc) -> set[int]:
+    return set(dict(sc._jsc.getPersistentRDDs()).keys())
+
+
+def _release_rdds(sc, ids: set[int]) -> None:
+    """Unpersist localCheckpoint-pinned RDDs by id. DataFrame.unpersist
+    only covers cache-manager entries; an eager localCheckpoint pins
+    its RDD directly, so without this the training loop would leak one
+    materialized word table per round for the session's lifetime."""
+    if not ids:
+        return
+    jmap = dict(sc._jsc.getPersistentRDDs())
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def _words_checksum(words: DataFrame) -> tuple[int, int]:
     """O(1)-driver content checksum of the (word, cnt) table — the
     content-addressed resume key when the caller holds no stable
@@ -134,15 +239,70 @@ def bpe_train(words: DataFrame, n_merges: int,
               max_words: int | None = None,
               warehouse=None, checkpoint_every: int = 0,
               input_fp: str | None = None,
-              table_prefix: str = "bpe_train") -> DataFrame:
+              table_prefix: str = "bpe_train",
+              batch_k: int = 64,
+              stats: dict | None = None) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the (word, cnt) table.
 
     → (merge_rank, left, right, merged, pair_count), merge_rank
     1-based in learn order. Stops early (fewer rows) when no pair is
-    left to merge. Each iteration: one bounded pair-count shuffle, a
-    1-row TakeOrderedAndProject argmax, one replace map pass; the
-    word table is re-persisted per round and the previous round
-    unpersisted, so lineage is cut at each materialized cache.
+    left to merge. Each ROUND learns a BATCH of merges (≤ ``batch_k``)
+    in a handful of bounded actions, then applies them as one replace
+    map pass; the word table is re-persisted per round and the
+    previous round unpersisted, so lineage is cut at each
+    materialized cache.
+
+    BATCHED MERGES (VERDICT r4 #1): the merge list is inherently
+    sequential — each argmax depends on the counts after the previous
+    merge — but a PREFIX of the global pair ranking can be proven
+    identical to sequential merging and applied in one pass. Per
+    round, collect the top-``batch_k`` pairs in the total order
+    (cnt desc, left asc, right asc) and accept candidates in order,
+    stopping at the first that violates either condition:
+
+    * COUNT INVARIANCE — no accepted merge may be able to change the
+      candidate's count. Merging (a,b) destroys only pairs (x,a) /
+      (b,y) and only at sites witnessed by a positive pre-batch
+      triple count "x a b" / "a b y" (the candidate-symbol triple
+      slice); creation-side interaction is fenced by symbol identity
+      (the candidate must not contain, nor re-derive, an accepted
+      MERGED string). See :func:`_accept_prefix` for the exact rule.
+    * COUNT DOMINANCE — its count must STRICTLY exceed every
+      accepted merge's ``newmax``: the largest adjacent-triple count
+      touching that merge (tripcnt(x,a,b) bounds new pair (x,ab);
+      tripcnt(a,b,y) bounds (ab,y) and merged-merged pairs like
+      (ab,cd), every site of which is an (a,b,c) triple). Otherwise a
+      pair CREATED by an accepted merge might outrank it at its
+      sequential step. Strictness sidesteps tie-break comparison
+      against pairs that did not exist pre-batch.
+
+    One more stop: if an accepted merge's merged symbol string already
+    exists in the vocabulary (e.g. re-deriving "ab" when a symbol "ab"
+    was produced by an earlier merge of different split), EXISTING
+    pairs containing it gain occurrences the candidate table cannot
+    see — accept that merge, end the batch there.
+
+    Equivalence argument (induction over accepted p_1..p_m): at
+    sequential step i every pair ranked above p_i pre-batch is some
+    p_j (j<i), already applied (its residual count only decreased);
+    p_i's own count is unchanged (disjointness — no accepted merge
+    shares a symbol with it, and no merged symbol collided with an
+    existing one); every pair NOT ranked above p_i pre-batch still
+    ranks below it (old counts only decrease — increases would
+    require containing a merged symbol, excluded by the m-collision
+    stop; new pairs are < cnt(p_i) by the strict triple bound). So
+    p_i is the step-i argmax under the same tie-break. Chained
+    replaces of symbol-disjoint merges commute, so one map pass
+    applies the batch. The hypothesis property test
+    (tests/test_bpe.py::test_bpe_train_matches_pure_python_reference)
+    pins batched == sequential on adversarial random vocabularies;
+    ``batch_k=1`` recovers the purely sequential loop.
+
+    A production 30k-merge vocabulary drops from ~60k sequential
+    driver round-trips to the number of ACCEPTED-PREFIX rounds
+    (measured against the corpus's information-limited batching
+    ceiling in BENCH/BASELINE.md) at 3 bounded actions per round
+    instead of 2 per merge.
 
     ``max_words``: production vocabularies run tens of thousands of
     merges, and every merge iterates over the word table — at 10^8
@@ -212,22 +372,128 @@ def bpe_train(words: DataFrame, n_merges: int,
                            "cnt").persist()
         cur.count()
         start = 0
+    sc = spark.sparkContext
+    held: set[int] = set()
+    n_rounds = 0
     try:
-        for rank in range(start + 1, n_merges + 1):
+        rank = start
+        while rank < n_merges:
+            n_rounds += 1
+            # batch cap: never cross n_merges, and land every batch
+            # exactly on a checkpoint boundary so resume stays on the
+            # fixed `rounds` grid
+            cap = n_merges - rank
+            if reliable:
+                cap = min(cap, min(b for b in rounds if b > rank) - rank)
+            cap = min(cap, max(1, batch_k))
             top = (_pair_counts(cur)
                    .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-                   .limit(1).collect())
-            if top:
-                left, right, cnt = (top[0]["left"], top[0]["right"],
-                                    top[0]["cnt"])
-                merges.append(Row(merge_rank=rank, left=left, right=right,
-                                  merged=left + right, pair_count=cnt))
-                nxt = cur.select(
-                    F.replace("s", F.lit(f" {left}  {right} "),
-                              F.lit(f" {left + right} ")).alias("s"),
-                    "cnt").persist()
-                nxt.count()
+                   .limit(cap).collect())
+            accepted: list[tuple[str, str, int]] = []
+            if top and (cap == 1 or len(top) == 1):
+                accepted = [(top[0]["left"], top[0]["right"],
+                             top[0]["cnt"])]
+            elif top:
+                # ONE bounded aux action for the whole round: per-
+                # candidate creation maxima, the candidate-symbol
+                # triple slice (destruction witnesses), and merged-
+                # symbol existence, unioned into a (s1,s2,s3,v,kind)
+                # frame. Every branch is a broadcast join of the ≤
+                # batch_k candidate table against the cached head
+                # words' pair/triple explosion.
+                cand = spark.createDataFrame(
+                    [(r["left"], r["right"]) for r in top],
+                    "c_left string, c_right string")
+                lefts_in = [r["left"] for r in top]
+                rights_in = [r["right"] for r in top]
+                tc = _triple_counts(cur)
+                bcand = F.broadcast(cand)
+                nm1 = (tc.join(bcand, (tc["t1"] == cand["c_left"])
+                               & (tc["t2"] == cand["c_right"]))
+                       .groupBy("c_left", "c_right")
+                       .agg(F.max("cnt").alias("v"))
+                       .select(F.col("c_left").alias("s1"),
+                               F.col("c_right").alias("s2"),
+                               F.lit(None).cast("string").alias("s3"),
+                               "v", F.lit("nm").alias("kind")))
+                nm2 = (tc.join(bcand, (tc["t2"] == cand["c_left"])
+                               & (tc["t3"] == cand["c_right"]))
+                       .groupBy("c_left", "c_right")
+                       .agg(F.max("cnt").alias("v"))
+                       .select(F.col("c_left").alias("s1"),
+                               F.col("c_right").alias("s2"),
+                               F.lit(None).cast("string").alias("s3"),
+                               "v", F.lit("nm").alias("kind")))
+                sl1 = (tc.join(bcand, (tc["t1"] == cand["c_left"])
+                               & (tc["t2"] == cand["c_right"]))
+                       .filter(F.col("t3").isin(rights_in))
+                       .select(F.col("t1").alias("s1"),
+                               F.col("t2").alias("s2"),
+                               F.col("t3").alias("s3"),
+                               F.col("cnt").alias("v"),
+                               F.lit("trip").alias("kind")))
+                sl2 = (tc.join(bcand, (tc["t2"] == cand["c_left"])
+                               & (tc["t3"] == cand["c_right"]))
+                       .filter(F.col("t1").isin(lefts_in))
+                       .select(F.col("t1").alias("s1"),
+                               F.col("t2").alias("s2"),
+                               F.col("t3").alias("s3"),
+                               F.col("cnt").alias("v"),
+                               F.lit("trip").alias("kind")))
+                mdf = spark.createDataFrame(
+                    [(r["left"] + r["right"],) for r in top], "m string")
+                mex = (cur.select(F.explode(F.split(F.trim("s"), "  "))
+                                  .alias("sym"))
+                       .join(F.broadcast(mdf), F.col("sym") == F.col("m"))
+                       .select(F.col("m").alias("s1"),
+                               F.lit(None).cast("string").alias("s2"),
+                               F.lit(None).cast("string").alias("s3"),
+                               F.lit(None).cast("long").alias("v"),
+                               F.lit("mex").alias("kind"))
+                       .distinct())
+                newmax: dict = {}
+                trips: set = set()
+                m_exists: set = set()
+                for r in (nm1.unionByName(nm2).unionByName(sl1)
+                          .unionByName(sl2).unionByName(mex).collect()):
+                    if r["kind"] == "nm":
+                        key = (r["s1"], r["s2"])
+                        newmax[key] = max(newmax.get(key, 0), r["v"])
+                    elif r["kind"] == "trip":
+                        trips.add((r["s1"], r["s2"], r["s3"]))
+                    else:
+                        m_exists.add(r["s1"])
+                accepted = _accept_prefix(top, newmax, trips,
+                                          m_exists, cap)
+            if accepted:
+                repl = F.col("s")
+                for left, right, cnt in accepted:
+                    rank += 1
+                    merges.append(Row(
+                        merge_rank=rank, left=left, right=right,
+                        merged=left + right, pair_count=cnt))
+                    repl = F.replace(
+                        repl, F.lit(f" {left}  {right} "),
+                        F.lit(f" {left + right} "))
+                # localCheckpoint, not bare persist: persist keeps the
+                # RDD DEPENDENCY chain (every prior round's RDDs stay
+                # referenced even after unpersist), so task
+                # serialization depth grows per round and a long
+                # training run dies in ObjectInputStream recursion.
+                # Eager local checkpoint materializes AND truncates
+                # lineage — same cost as persist+count, bounded plan
+                # and dependency depth at any vocabulary size. Crash
+                # durability comes from the warehouse checkpoints, not
+                # from recomputing lineage that no longer exists. The
+                # pinned RDD is released explicitly next round
+                # (_release_rdds) — DataFrame.unpersist cannot see it.
+                before = _pinned_rdd_ids(sc)
+                nxt = cur.select(repl.alias("s"),
+                                 "cnt").localCheckpoint(eager=True)
+                new_ids = _pinned_rdd_ids(sc) - before
                 cur.unpersist()
+                _release_rdds(sc, held)
+                held = new_ids
                 cur = nxt
             exhausted = not top
             at_ckpt = reliable and (rank in rounds or exhausted)
@@ -254,11 +520,18 @@ def bpe_train(words: DataFrame, n_merges: int,
                     f"{table_prefix}_words_r{k}").persist()
                 stored.count()
                 cur.unpersist()
+                _release_rdds(sc, held)
+                held = set()
                 cur = stored
             if exhausted:
                 break
     finally:
         cur.unpersist()
+        _release_rdds(sc, held)
+        if stats is not None:
+            # merges learned THIS run (resumed ranks ≤ start excluded)
+            stats["rounds"] = n_rounds
+            stats["merges"] = len(merges) - start
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
