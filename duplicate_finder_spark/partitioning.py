@@ -26,7 +26,70 @@ freshly scanned input) and cheaper than misjudging a one-split scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: post-shuffle partition size target. 128 MiB ≈ Spark's own
+#: spark.sql.files.maxPartitionBytes default — small enough to sort/
+#: aggregate in executor memory with headroom, large enough that task
+#: overhead stays negligible.
+SHUFFLE_TARGET_BYTES = 128 << 20
+
+#: scan-bytes → in-flight-bytes expansion: parquet is column-compressed
+#: (web text compresses ~2-4×) and shuffle rows carry row-format +
+#: serialization overhead. 3× is deliberately round — the estimate only
+#: needs the right order of magnitude because AQE coalesces an
+#: overshoot for free, while an undershoot (too few, too fat
+#: partitions) is what OOMs.
+SHUFFLE_EXPANSION = 3.0
+
+
+def shuffle_partitions_for(input_bytes: int, cores: int,
+                           target_bytes: int = SHUFFLE_TARGET_BYTES,
+                           expansion: float = SHUFFLE_EXPANSION,
+                           ceiling: int = 65536) -> int:
+    """The sizing rule (pure, unit-testable): enough partitions that an
+    ``expansion``-inflated copy of the input fits ``target_bytes`` per
+    partition, never fewer than the core count (parallelism floor),
+    never more than ``ceiling`` (scheduler-pressure backstop; at 100 TB
+    × 3 / 128 MiB ≈ 2.4M ideal partitions a real cluster would instead
+    raise ``target_bytes`` — the ceiling makes the local default safe,
+    not optimal, there)."""
+    ideal = math.ceil(input_bytes * expansion / target_bytes)
+    return max(cores, min(ideal, ceiling))
+
+
+def scan_bytes(df: DataFrame) -> int:
+    """The optimizer's size estimate for ``df``'s plan — for a file
+    scan this is the summed file length (times the configured
+    compression factor), the same statistic Catalyst uses to pick
+    broadcast joins. One driver call, no data touched. Non-file plans
+    (in-memory ranges, post-shuffle) report whatever the planner
+    estimates; callers treat this as an order-of-magnitude input."""
+    return int(df._jdf.queryExecution().optimizedPlan()
+               .stats().sizeInBytes())
+
+
+def autosize_shuffle_partitions(spark: SparkSession, df: DataFrame,
+                                **kw) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the scanned input size
+    (VERDICT r4 #5) and return the chosen value.
+
+    This is the one knob that must scale WITH input size: the session
+    default (≈ core count) is right for interactive queries but an 8M-
+    doc corpus through 32 partitions put ~600 MB per shuffle partition
+    in flight and died with UNABLE_TO_ACQUIRE_MEMORY at a 16 GiB heap
+    (BENCH/BASELINE.md linearity probe). With AQE on (session default)
+    overshooting is self-correcting — adaptive coalescing merges small
+    post-shuffle partitions — so the rule aims high and lets the
+    runtime trim, exactly what initialPartitionNum is for on a real
+    cluster. Call once per job after the input scan is known, before
+    the first wide stage."""
+    n = shuffle_partitions_for(
+        scan_bytes(df), spark.sparkContext.defaultParallelism, **kw)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:

@@ -155,6 +155,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--input-id", default=None,
                    help="stable id for the input snapshot (stage-cache "
                         "key); defaults to the input path")
+    p.add_argument("--no-autosize", action="store_true",
+                   help="keep the session's spark.sql.shuffle.partitions "
+                        "instead of sizing it from the scanned input "
+                        "bytes")
     return p.parse_args(argv)
 
 
@@ -209,6 +213,14 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.table(args.input)
         else:
             docs = spark.read.parquet(args.input)
+        # shuffle sized to the input, as in jobs/dedup.py; an explicit
+        # spark-submit --conf is respected via autosize's cores floor
+        # only when larger — operators who need a fixed value run the
+        # dedup job's --no-autosize pattern or set it post-hoc
+        from duplicate_finder_spark.partitioning import (
+            autosize_shuffle_partitions)
+        if not args.no_autosize:
+            autosize_shuffle_partitions(spark, docs)
         # strata column (if any) rejoins at the end by id — the funnel
         # itself runs on the minimal (id, text) projection
         if args.eval_input:

@@ -60,6 +60,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(a per-executor one-time cost that grows "
                         "with core count) would otherwise be billed "
                         "to the wide configuration")
+    p.add_argument("--no-autosize", action="store_true",
+                   help="keep the session's spark.sql.shuffle.partitions "
+                        "instead of sizing it from the scanned input "
+                        "bytes (use when an explicit --conf value is "
+                        "the deliberate choice)")
     return p.parse_args(argv)
 
 
@@ -90,6 +95,16 @@ def main(argv: list[str] | None = None) -> int:
         wh = get_warehouse(
             spark, args.warehouse,
             fmt="parquet" if args.format == "warc" else args.format)
+
+        # size the shuffle to the INPUT, not the session default: an
+        # explicit spark-submit --conf wins (cluster operator knows
+        # best); otherwise derive from scanned bytes so an 8M-doc run
+        # does not push 600 MB partitions through a 16g heap
+        if not args.no_autosize:
+            from duplicate_finder_spark.partitioning import (
+                autosize_shuffle_partitions)
+            n_parts = autosize_shuffle_partitions(spark, pages)
+            print(f"shuffle.partitions={n_parts} (auto)", file=sys.stderr)
 
         input_id = args.input_id or args.input
         if args.warmup:

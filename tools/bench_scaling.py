@@ -98,6 +98,15 @@ def run_once(cpus: int, cfg: PipelineConfig, persist: bool = True,
     from duplicate_finder_spark.session import get_spark
     spark = get_spark(app_name=f"bench-scaling-{cpus}",
                       master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # size the shuffle to the corpus, exactly as jobs/dedup.py does:
+    # at 8M docs the cpus-sized default (32) put ~600 MB partitions in
+    # flight and hit UNABLE_TO_ACQUIRE_MEMORY at the 16g heap; the
+    # byte-derived value reproduces the linearity probe with no manual
+    # knob (VERDICT r4 #5)
+    from duplicate_finder_spark.partitioning import (
+        autosize_shuffle_partitions)
+    n_parts = autosize_shuffle_partitions(spark, spark.read.parquet(DATA))
+    print(f"  shuffle.partitions={n_parts} (auto)")
     n_docs = spark.read.parquet(DATA).count()
 
     # UNTIMED warmup pass: spawns the per-core Python UDF daemons (each
@@ -193,6 +202,9 @@ def run_once_staged(cpus: int, cfg: PipelineConfig) -> dict:
     from duplicate_finder_spark.session import get_spark
     spark = get_spark(app_name=f"bench-stages-{cpus}",
                       master=f"local[{cpus}]", shuffle_partitions=cpus)
+    from duplicate_finder_spark.partitioning import (
+        autosize_shuffle_partitions)
+    autosize_shuffle_partitions(spark, spark.read.parquet(DATA))
     n_docs = spark.read.parquet(DATA).count()
     # warmup: UDF daemons + JVM JIT + pull the input into page cache
     _warm = F.pandas_udf(lambda s: s, "long")
