@@ -1663,6 +1663,50 @@ def q_mp3_stream_meta(spark, sf_dir):
     return mp3_stream_meta(pages)
 
 
+def q_mp3_frame_integrity(spark, sf_dir):
+    """Round-5 provable mp3 surface driver-gated end-to-end: CRC-16
+    frame protection (kernel anchored to the published CRC-16/CMS
+    check value, tests/test_mp3meta.py), full mono side-info bit
+    layout (bit-reservoir accounting via main_data_begin), and the
+    Xing VBR header. Scripted per doc_id: k = 2 + i%4 frames at
+    bitrate index 1 + i%14; even i → protected with real CRCs, with
+    frame 0's CRC corrupted when i%5==0; odd i → unprotected with
+    main_data_begin = (37i)%511 + 1 on even frames (bit reservoir);
+    i%3==0 → Xing header claiming k frames. Every output is
+    closed-form from doc_id, so DuckDB reproduces it exactly; a CRC,
+    bit-layout, or walk bug mismatches."""
+    import pandas as pd
+
+    from duplicate_finder_spark.operators.mp3meta import (
+        encode_mp3_stream, mp3_frame_integrity)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def stream(i: int) -> bytes:
+        k = 2 + i % 4
+        frames = [(1 + i % 14, 0)] * k
+        prot = i % 2 == 0
+        side = None
+        if not prot:
+            mdb = (37 * i) % 511 + 1
+            side = [dict(main_data_begin=mdb if j % 2 == 0 else 0)
+                    for j in range(k)]
+        return encode_mp3_stream(
+            frames, protection=prot, side_infos=side,
+            corrupt_crc_frames=(0,) if (prot and i % 5 == 0) else (),
+            xing_frames=k if i % 3 == 0 else None)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [stream(int(i)) for i in ids]})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return mp3_frame_integrity(pages)
+
+
 def q_mp4_container_meta(spark, sf_dir):
     """REAL MP4 (ISO-BMFF) box-tree parsing driver-gated end-to-end
     (codec payloads stay the honest stub): a bit-valid container is
@@ -2001,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "mp3_stream_meta": q_mp3_stream_meta,
+        "mp3_frame_integrity": q_mp3_frame_integrity,
         "mp4_container_meta": q_mp4_container_meta,
         "host_corpus_stats": q_host_corpus_stats,
         "host_cap_apply": q_host_cap_apply,
@@ -2762,6 +2807,31 @@ def oracle_sql() -> dict[str, str]:
                    AS bitrate_kbps,
                  (vbr_doc AND b <> a) AS vbr
           FROM q
+        """,
+        # closed-form mirror of q_mp3_frame_integrity's scripted
+        # streams: k = 2+i%4; even i protected (frame 0 CRC corrupted
+        # when i%5==0); odd i reservoir on even frames; i%3==0 Xing
+        "mp3_frame_integrity": """
+          WITH p AS (
+            SELECT doc_id AS i, 2 + doc_id % 4 AS k,
+                   doc_id % 2 = 0 AS prot
+            FROM documents
+          )
+          SELECT i AS doc_id,
+                 k::BIGINT AS n_frames,
+                 (CASE WHEN prot THEN k ELSE 0 END)::BIGINT
+                   AS protected_frames,
+                 (CASE WHEN prot
+                       THEN k - (CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END)
+                       ELSE 0 END)::BIGINT AS crc_ok_frames,
+                 (CASE WHEN prot THEN 0 ELSE (k + 1) // 2 END)::BIGINT
+                   AS reservoir_frames,
+                 (CASE WHEN prot THEN 0
+                       ELSE (37 * i) % 511 + 1 END)::BIGINT
+                   AS max_main_data_begin,
+                 i % 3 = 0 AS has_xing,
+                 (CASE WHEN i % 3 = 0 THEN k END)::BIGINT AS xing_frames
+          FROM p
         """,
         # closed-form mirror of q_mp4_container_meta's scripted files
         "mp4_container_meta": """

@@ -73,3 +73,105 @@ class TestDataFrameOp:
         assert got[2].n_frames is None  # null payload → null-metadata row
         assert got[3].vbr is True and got[3].n_frames == 2
         assert len(got) == 4
+
+
+class TestIntegrity:
+    """Round-5 provable extensions: CRC-16 protection, side-info bit
+    layout, Xing header (operators/mp3meta.py)."""
+
+    def test_crc16_external_anchor(self):
+        # CRC-16/CMS published check value — an EXTERNAL truth, so the
+        # kernel is not merely writer/checker self-consistent
+        from duplicate_finder_spark.operators.mp3meta import crc16_mpeg
+        assert crc16_mpeg(b"123456789") == 0xAEE7
+        assert crc16_mpeg(b"") == 0xFFFF
+
+    def test_side_info_roundtrip(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            pack_side_info_mono, parse_side_info_mono)
+        g0 = dict(part2_3_length=1234, big_values=288, global_gain=210,
+                  scalefac_compress=9, table_select=(7, 13, 24),
+                  region0_count=5, region1_count=4, preflag=1,
+                  scalefac_scale=1, count1table_select=1)
+        g1 = dict(part2_3_length=4095, big_values=511, global_gain=255,
+                  scalefac_compress=15, table_select=(31, 0, 1))
+        b = pack_side_info_mono(main_data_begin=345, scfsi=0b1010,
+                                granules=[g0, g1])
+        assert len(b) == 17
+        si = parse_side_info_mono(b)
+        assert si["main_data_begin"] == 345
+        assert si["scfsi"] == 0b1010
+        assert si["granules"][0]["part2_3_length"] == 1234
+        assert si["granules"][0]["table_select"] == (7, 13, 24)
+        assert si["granules"][0]["region0_count"] == 5
+        assert si["granules"][0]["preflag"] == 1
+        assert si["granules"][1]["big_values"] == 511
+        assert si["granules"][1]["count1table_select"] == 0
+
+    def test_protected_stream_crc_verifies(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        b = encode_mp3_stream([(9, 0)] * 4, protection=True)
+        m = mp3_frame_walk_integrity(b)
+        assert m["n_frames"] == 4
+        assert m["protected_frames"] == 4
+        assert m["crc_ok_frames"] == 4
+
+    def test_corrupt_crc_detected_per_frame(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        b = encode_mp3_stream([(9, 0)] * 4, protection=True,
+                              corrupt_crc_frames=(1, 3))
+        m = mp3_frame_walk_integrity(b)
+        assert m["protected_frames"] == 4
+        assert m["crc_ok_frames"] == 2
+
+    def test_unprotected_stream_has_zero_protected(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        m = mp3_frame_walk_integrity(encode_mp3_stream([(9, 1)] * 3))
+        assert m["protected_frames"] == 0
+        assert m["crc_ok_frames"] == 0
+        assert m["reservoir_frames"] == 0
+
+    def test_bit_reservoir_counted(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        side = [dict(main_data_begin=0), dict(main_data_begin=200),
+                dict(main_data_begin=511)]
+        m = mp3_frame_walk_integrity(
+            encode_mp3_stream([(9, 0)] * 3, side_infos=side))
+        assert m["reservoir_frames"] == 2
+        assert m["max_main_data_begin"] == 511
+
+    def test_xing_header_parsed_in_first_frame_only(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        b = encode_mp3_stream([(9, 0)] * 5, xing_frames=5)
+        m = mp3_frame_walk_integrity(b)
+        assert m["has_xing"] is True
+        assert m["xing_frames"] == 5
+        m2 = mp3_frame_walk_integrity(encode_mp3_stream([(9, 0)] * 5))
+        assert m2["has_xing"] is False and m2["xing_frames"] is None
+
+    def test_crc_and_side_info_do_not_change_stream_meta(self):
+        # the metadata walk must agree with the integrity walk's frame
+        # accounting on protected, reservoir-using streams
+        b = encode_mp3_stream(
+            [(9, 0)] * 3, protection=True,
+            side_infos=[dict(main_data_begin=100)] * 3, xing_frames=3)
+        m = mp3_frames(b)
+        assert m["n_frames"] == 3
+        assert m["bitrate_kbps"] == 128.0
+
+    def test_integrity_operator_and_error_rows(self, spark):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_integrity)
+        good = encode_mp3_stream([(9, 0)] * 2, protection=True)
+        rows = [(1, bytearray(good)), (2, bytearray(b"not an mp3")),
+                (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in mp3_frame_integrity(df).collect()}
+        assert got[1]["n_frames"] == 2 and got[1]["crc_ok_frames"] == 2
+        assert got[2]["n_frames"] is None
+        assert got[3]["n_frames"] is None
