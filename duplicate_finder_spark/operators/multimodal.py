@@ -65,6 +65,22 @@ def decode_stub(payload: bytes, modality: str = "image") -> list[float]:
     assert end-to-end plumbing (stable values, correct shapes).
     Raise path kept explicit for the real-codec branch. Container-free
     raster formats don't need this — see ``decode_image``.
+
+    Why the remaining formats (lossy-VP8 WebP, mp3 samples, H.264/AAC)
+    stay stubs while PNG/GIF/JPEG/VP8L got real decoders: the decided
+    boundary is VERIFIABILITY, not algorithmic difficulty. The decoded
+    formats either carry their entropy tables in the file (JPEG) or
+    use closed-form/derivable coding structures (VP8L prefix codes,
+    LZW, DEFLATE), so our own writers + crafted streams genuinely
+    prove the decoder. VP8's default coefficient probability tables,
+    mp3's 34 Huffman tables + 512-tap synthesis window, and H.264's
+    CABAC context tables exist only as printed spec data with no
+    closed form — unverifiable in this sandbox (no codec lib, no real
+    encoded files), so a from-memory transcription paired with our own
+    writer would be SELF-CONSISTENT EVEN IF WRONG: green tests, broken
+    on every real file. An honest stub beats an unfalsifiable decoder.
+    (The provable parts of mp3 — frame CRC-16, side-info layout, Xing
+    — are real: operators/mp3meta.py.)
     """
     if modality not in ("image", "audio", "video"):
         raise NotImplementedError(f"unknown modality: {modality}")

@@ -54,6 +54,21 @@ def test_expansion_and_target_knobs():
     assert SHUFFLE_EXPANSION == pytest.approx(3.0)
 
 
+def test_fan_out_only_when_scan_is_narrow(spark, tmp_path):
+    from duplicate_finder_spark.partitioning import fan_out
+    path = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    goal = spark.sparkContext.defaultParallelism
+    out = fan_out(df)
+    assert out.rdd.getNumPartitions() == goal
+    # already-wide input is untouched (no gratuitous shuffle)
+    wide = str(tmp_path / "wide")
+    spark.range(1000).repartition(goal).write.parquet(wide)
+    df2 = spark.read.parquet(wide)
+    assert fan_out(df2) is df2
+
+
 def test_autosize_sets_conf_from_scan(spark, tmp_path):
     path = str(tmp_path / "pages")
     spark.range(10_000).selectExpr(
