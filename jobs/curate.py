@@ -213,13 +213,11 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.table(args.input)
         else:
             docs = spark.read.parquet(args.input)
-        # shuffle sized to the input, as in jobs/dedup.py; an explicit
-        # spark-submit --conf is respected via autosize's cores floor
-        # only when larger — operators who need a fixed value run the
-        # dedup job's --no-autosize pattern or set it post-hoc
-        from duplicate_finder_spark.partitioning import (
-            autosize_shuffle_partitions)
+        # shuffle sized to the scanned input, as in jobs/dedup.py;
+        # --no-autosize preserves an explicit spark-submit --conf value
         if not args.no_autosize:
+            from duplicate_finder_spark.partitioning import (
+                autosize_shuffle_partitions)
             autosize_shuffle_partitions(spark, docs)
         # strata column (if any) rejoins at the end by id — the funnel
         # itself runs on the minimal (id, text) projection
