@@ -228,6 +228,27 @@ def test_batched_training_adversarial_letter_soup(spark):
     assert got == _ref_bpe(corpus, 128)
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=9),
+    min_size=2, max_size=10))
+def test_batch_size_invariance_property(spark, word_cnt):
+    """Hypothesis: for ANY weighted vocabulary, the batched trainer's
+    merge list is identical at batch_k 1 and 64 — the acceptance rule
+    must never change results, only round counts. A 3-letter alphabet
+    with tiny counts maximizes ties, shared symbols, and merged-symbol
+    collisions per example."""
+    wc = spark.createDataFrame(list(word_cnt.items()),
+                               "word string, cnt long")
+    seq = [tuple(r) for r in
+           bpe_train(wc, 6, batch_k=1).orderBy("merge_rank").collect()]
+    got = [tuple(r) for r in
+           bpe_train(wc, 6, batch_k=64).orderBy("merge_rank").collect()]
+    assert got == seq
+    assert seq == _ref_bpe(word_cnt, 6)
+
+
 def test_batch_k_1_recovers_sequential_loop(spark):
     """batch_k=1 is the purely sequential trainer; any batch_k must
     produce the identical merge list (here on a corpus whose top pairs
