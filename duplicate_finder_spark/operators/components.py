@@ -60,6 +60,24 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return row["n"], int(row["h"]) if row["h"] is not None else 0
 
 
+def _checksum_pair(e1: DataFrame,
+                   e2: DataFrame) -> tuple[tuple[int, int], tuple[int, int]]:
+    """Both rounds' (count, hash) checksums in ONE driver job: a tagged
+    union aggregated by tag. e1 must be (a parent of) e2's lineage with
+    a localCheckpoint — the shared RDD means its shuffle stages run
+    once, consumed by both the tag-1 branch and e2's star round."""
+    tagged = (e1.select(F.lit(1).alias("_t"), "src", "dst")
+              .unionByName(e2.select(F.lit(2).alias("_t"), "src", "dst")))
+    rows = tagged.groupBy("_t").agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(30,0)")).alias("h")
+    ).collect()
+    out = {1: (0, 0), 2: (0, 0)}
+    for r in rows:
+        out[r["_t"]] = (r["n"], int(r["h"]) if r["h"] is not None else 0)
+    return out[1], out[2]
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          warehouse=None, checkpoint_every: int = 0,
                          table_prefix: str = "cc_round",
@@ -118,30 +136,79 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     prev = None
     kept_round = 0
     converged = False
-    for i in range(1, max_iter + 1):
-        if reliable and i % checkpoint_every == 0:
-            prev_e = e
-            e, _resumed = warehouse.checkpoint_or_compute(
-                f"{table_prefix}_r{i}", f"{base_fp}:r{i}",
-                lambda: _small_star(_large_star(prev_e)))
-            kept_round = i
-        else:
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = _checksum(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    if not reliable:
+        # in-session path: TWO large/small star rounds per driver job —
+        # each job's final aggregate computes BOTH rounds' checksums at
+        # once (tagged union over the two eager=False checkpoints, which
+        # share one lineage so the first round's shuffle stages run
+        # exactly once). Convergence is still detected per ROUND (the
+        # same consecutive-checksum criterion as before), but the job
+        # count — the measured wall of this operator once the plan is
+        # right (VERDICT r5: "per-job floor × rounds") — drops from
+        # rounds+1 to ceil((rounds+1)/2), at the cost of at most one
+        # wasted (no-op) star round when convergence lands on the first
+        # round of a pair. Union-find equivalence is pinned by
+        # test_connected_components_random_graphs.
+        i = 0
+        while i < max_iter:
+            e1 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            if i + 1 >= max_iter:
+                cur = _checksum(e1)
+                e = e1
+                i += 1
+                if cur == prev:
+                    converged = True
+                    break
+                prev = cur
+                continue
+            e2 = _small_star(_large_star(e1)).localCheckpoint(eager=False)
+            c1, c2 = _checksum_pair(e1, e2)
+            if c1 == prev:
+                e = e1
+                i += 1
+                converged = True
+                break
+            if c2 == c1:
+                e = e2
+                i += 2
+                converged = True
+                break
+            e, prev = e2, c2
+            i += 2
+    else:
+        for i in range(1, max_iter + 1):
+            if i % checkpoint_every == 0:
+                prev_e = e
+                e, _resumed = warehouse.checkpoint_or_compute(
+                    f"{table_prefix}_r{i}", f"{base_fp}:r{i}",
+                    lambda: _small_star(_large_star(prev_e)))
+                kept_round = i
+            else:
+                e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            cur = _checksum(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
     if reliable and gc_rounds and converged:
         for j in range(1, max_iter + 1):
             name = f"{table_prefix}_r{j}"
             if j != kept_round and warehouse.exists(name):
                 warehouse.drop(name)
     # post-convergence: star edges child→root
-    roots = e.select(F.col("dst").alias("url")).distinct() \
-        .join(e.select(F.col("src").alias("url")).distinct(),
-              "url", "left_anti") \
-        .select("url", F.col("url").alias("cluster_id"))
+    if converged:
+        # the converged edge set IS a star graph (fixed point of the
+        # star rounds): every dst is a component root and no root ever
+        # appears as a src, so the roots are exactly distinct(dst) — the
+        # anti-join against distinct(src) would remove nothing. Skipping
+        # it drops two exchanges + a join from the output plan.
+        roots = (e.select(F.col("dst").alias("url")).distinct()
+                 .select("url", F.col("url").alias("cluster_id")))
+    else:
+        roots = e.select(F.col("dst").alias("url")).distinct() \
+            .join(e.select(F.col("src").alias("url")).distinct(),
+                  "url", "left_anti") \
+            .select("url", F.col("url").alias("cluster_id"))
     members = e.select(F.col("src").alias("url"),
                        F.col("dst").alias("cluster_id"))
     return members.unionByName(roots).distinct()
