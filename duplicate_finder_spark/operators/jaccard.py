@@ -16,7 +16,7 @@ BEFORE the join so the hot keys never shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.operators.minhash import shingle_sets
@@ -78,11 +78,19 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     # second full pass over the corpus + two extra shuffles at 100 TB.
     sh = arr.select("id", "n", F.explode("sh").alias("s"))
     if max_doc_freq is not None:
-        # df-cut BEFORE the self-join: boilerplate shingles (shared by
-        # more than max_doc_freq docs) never reach the shuffle
-        rare = (sh.groupBy("s").count()
-                .filter(F.col("count") <= max_doc_freq).select("s"))
-        sh = sh.join(rare, "s", "left_semi")
+        # df-cut as a WINDOW count over the shingle exchange — the
+        # candidate_pairs census shape (operators/lsh.py:37, measured
+        # 1.6-1.7x faster than groupBy + join-back at 2M docs): rows per
+        # doc are distinct (shingle_sets dedups), so count(*) over s IS
+        # the document frequency, and the one hash exchange on s is
+        # shared by the window, then reused by BOTH sides of the
+        # self-equi-join below (identical subtrees) — the shingle
+        # subtree (scan + tokenize + Arrow UDF) executes exactly once,
+        # where the old groupBy census + left-semi probe re-scanned it.
+        w = Window.partitionBy("s")
+        sh = (sh.withColumn("_df", F.count("*").over(w))
+              .filter(F.col("_df") <= max_doc_freq)
+              .drop("_df"))
     a = sh.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
     b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")
     inter = (a.join(b, "s")
