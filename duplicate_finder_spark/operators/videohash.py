@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duplicate_finder_spark.operators.imagehash import ahash64
@@ -80,27 +80,38 @@ def video_neardup_pairs(frame_hashes: DataFrame,
     per-video DISTINCT frame-hash sets.
 
     One inverted-index self-join on the 8-byte hash (videos sharing no
-    frame hash never meet), shared counts as a partial-aggregable
-    groupBy, set sizes joined back. Hashes in more than
-    ``max_hash_df`` videos are excluded from the shared count (they
-    still count toward set sizes), bounding any hash bucket's fan-out
-    at O(max_hash_df²) the way the n-gram index bounds hot tokens.
+    frame hash never meet); hashes in more than ``max_hash_df`` videos
+    are excluded from the shared count (they still count toward set
+    sizes), bounding any hash bucket's fan-out at O(max_hash_df²) the
+    way the n-gram index bounds hot tokens.
+
+    Plan shape (r6): per-video distinct hash sets come from ONE
+    map-side-combined ``collect_set`` exchange on the video id (sets are
+    bounded by frames-per-video, so no skew risk), carrying the set
+    size through the explode like the n-gram index — the frame-hash
+    subtree (container walk + decode + hash Python pass) has a single
+    consumer and executes exactly once, the df-cut is a window count on
+    the hash exchange that both self-join sides reuse, and no sizes
+    table is ever joined back. Three exchanges total, down from a
+    distinct + two groupBys + three join-backs.
     """
-    fh = frame_hashes.select(id_col, "ahash").distinct()
-    sizes = fh.groupBy(id_col).agg(F.count("*").alias("n"))
-    rare = (fh.groupBy("ahash").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_hash_df)
-            .select("ahash"))
-    fhr = fh.join(rare, "ahash")
-    a = fhr.select(F.col(id_col).alias("id_a"), "ahash")
-    b = fhr.select(F.col(id_col).alias("id_b"), "ahash")
+    sets = (frame_hashes.groupBy(id_col)
+            .agg(F.collect_set("ahash").alias("_hs")))
+    fh = sets.select(id_col, F.size("_hs").alias("n"),
+                     F.explode("_hs").alias("ahash"))
+    w = Window.partitionBy("ahash")
+    fhr = (fh.withColumn("_df", F.count("*").over(w))
+           .filter(F.col("_df") <= max_hash_df)
+           .drop("_df"))
+    a = fhr.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"),
+                   "ahash")
+    b = fhr.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"),
+                   "ahash")
     shared = (a.join(b, "ahash")
               .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
+              .groupBy("id_a", "id_b", "na", "nb")
               .agg(F.count("*").alias("n_shared")))
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (shared.join(na, "id_a").join(nb, "id_b")
+    return (shared
             .withColumn("jaccard", F.round(
                 F.col("n_shared")
                 / (F.col("na") + F.col("nb") - F.col("n_shared")), 6))
