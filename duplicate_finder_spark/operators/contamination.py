@@ -87,10 +87,19 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame, n: int = 8,
     One pass over ``train``; the eval side is broadcast. See the module
     docstring for why this shape survives 10^12 training docs.
     """
-    eval_grams = _doc_grams(eval_docs, n, id_col, text_col) \
-        .withColumn("_h", F.xxhash64("gram"))
+    # explode_outer keeps eval docs with zero grams as a NULL-gram row,
+    # so "every eval doc gets a row" needs no second scan of eval_docs
+    # + distinct + join-back (two exchanges fewer): n_grams counts the
+    # non-null grams, which is 0 for exactly those docs
+    t = eval_docs.select(id_col, tokens(text_col).alias("_toks"))
+    eval_grams = (t.select(
+        id_col,
+        F.explode_outer(F.array_distinct(ngrams(F.col("_toks"), n)))
+         .alias("gram"))
+        .withColumn("_h", F.xxhash64("gram")))
     # tiny: distinct gram strings of the eval set, keyed by 64-bit hash
-    probe = eval_grams.select("_h", F.col("gram").alias("_egram")).distinct()
+    probe = (eval_grams.filter(F.col("gram").isNotNull())
+             .select("_h", F.col("gram").alias("_egram")).distinct())
 
     train_toks = train.select(tokens(text_col).alias("_toks"))
     train_grams = train_toks.select(
@@ -102,21 +111,14 @@ def contamination_check(train: DataFrame, eval_docs: DataFrame, n: int = 8,
                  .select(F.col("_egram").alias("gram"))
                  .distinct())
 
-    per_doc = (eval_grams
-               .join(hit_grams.withColumn("_hit", F.lit(1)), "gram", "left")
-               .groupBy(id_col)
-               .agg(F.count("*").cast("long").alias("n_grams"),
-                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                     .cast("long").alias("n_hit")))
-    # eval docs too short to produce grams still get a row
-    base = eval_docs.select(id_col).distinct()
-    return (base.join(per_doc, id_col, "left")
-            .select(id_col,
-                    F.coalesce("n_grams", F.lit(0)).cast("long")
-                     .alias("n_grams"),
-                    F.coalesce("n_hit", F.lit(0)).cast("long")
-                     .alias("n_hit"),
-                    F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+    return (eval_grams
+            .join(hit_grams.withColumn("_hit", F.lit(1)), "gram", "left")
+            .groupBy(id_col)
+            .agg(F.count("gram").cast("long").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                  .cast("long").alias("n_hit"))
+            .select(id_col, "n_grams", "n_hit",
+                    F.when(F.col("n_grams") == 0, F.lit(0.0))
                      .otherwise(F.round(F.col("n_hit") / F.col("n_grams"), 6))
                      .alias("contamination_frac")))
 

@@ -64,10 +64,16 @@ def _bucket(gram: Column, n_buckets: int) -> Column:
 
 
 def _doc_feats(docs: DataFrame, n_buckets: int, id_col: str,
-               text_col: str) -> DataFrame:
+               text_col: str, keep_empty: bool = False) -> DataFrame:
     """(id, feat) — one row per unigram and bigram OCCURRENCE (counts
     matter for multinomial fits, so no distinct). Narrow: explode +
-    hash, no shuffle."""
+    hash, no shuffle.
+
+    ``keep_empty`` (scorer path only): zero-gram docs keep one
+    NULL-feat row (explode_outer), so per-doc aggregation can cover
+    every doc without a second corpus scan + join-back. The fit paths
+    MUST leave it False — a null feat row would add a spurious group
+    to the distribution counts."""
     t = docs.select(id_col, tokens(text_col).alias("_toks"))
     m = F.size("_toks") - F.lit(1)
     bigrams = F.when(F.size("_toks") < 2,
@@ -75,8 +81,8 @@ def _doc_feats(docs: DataFrame, n_buckets: int, id_col: str,
         .otherwise(F.zip_with(F.slice("_toks", 1, m),
                               F.slice("_toks", 2, m),
                               lambda a, b: F.concat_ws(" ", a, b)))
-    grams = t.select(id_col,
-                     F.explode(F.concat("_toks", bigrams)).alias("_g"))
+    exp = F.explode_outer if keep_empty else F.explode
+    grams = t.select(id_col, exp(F.concat("_toks", bigrams)).alias("_g"))
     return grams.select(id_col, _bucket(F.col("_g"), n_buckets)
                         .alias("feat"))
 
@@ -129,17 +135,18 @@ def dsir_weights(raw: DataFrame, ratios: DataFrame,
     integer sum of lr_micro over the doc's feature OCCURRENCES (docs
     with zero tokens get weight 0 and n_feats 0). ``ratios`` is
     broadcast; the raw corpus shuffles one combined row per doc."""
-    feats = _doc_feats(raw, n_buckets, id_col, text_col)
-    scored = (feats.join(F.broadcast(ratios), "feat", "left")
-              .groupBy(id_col)
-              .agg(F.count("*").cast("long").alias("n_feats"),
-                   F.sum(F.coalesce("lr_micro", F.lit(0)))
-                    .cast("long").alias("weight_micro")))
-    base = raw.select(id_col).distinct()
-    return (base.join(scored, id_col, "left")
+    # keep_empty: zero-gram docs ride through as one NULL-feat row
+    # (counted by neither n_feats nor the weight sum), so weight 0 /
+    # n_feats 0 rows need no third corpus scan + distinct + join-back —
+    # two exchanges and a pass fewer than the base-table restore
+    feats = _doc_feats(raw, n_buckets, id_col, text_col, keep_empty=True)
+    return (feats.join(F.broadcast(ratios), "feat", "left")
+            .groupBy(id_col)
+            .agg(F.count("feat").cast("long").alias("n_feats"),
+                 F.sum(F.coalesce("lr_micro", F.lit(0)))
+                  .cast("long").alias("weight_micro"))
             .select(id_col,
-                    F.coalesce("n_feats", F.lit(0)).cast("long")
-                     .alias("n_feats"),
+                    "n_feats",
                     F.coalesce("weight_micro", F.lit(0)).cast("long")
                      .alias("weight_micro")))
 

@@ -53,14 +53,18 @@ def _doc_bigrams(docs: DataFrame, n_buckets: int, id_col: str,
     """→ (id, u, b) one row per bigram POSITION (not distinct): u is
     the context word's bucket, b the word-pair bucket. Linear zip_with
     (no quadratic slice capture), docs with < 2 tokens emit nothing."""
-    toks = tokens(text_col)
+    # bind the token array ONCE (its own projection): the size filter
+    # and both slices then read a bound attribute instead of each
+    # re-evaluating the tokenizer expression (functions/text.py:40)
+    t = (docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+         .filter(F.size("_toks") >= 2))
+    toks = F.col("_toks")
     pairs = F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
                        F.slice(toks, 2, F.size(toks) - 1),
                        lambda a, b: F.struct(a.alias("w1"),
                                              F.concat_ws(" ", a, b)
                                              .alias("g")))
-    return (docs
-            .filter(F.size(tokens(text_col)) >= 2)
+    return (t
             .select(F.col(id_col), F.explode(pairs).alias("p"))
             .select(id_col,
                     _bucket(F.col("p.w1"), n_buckets).alias("u"),
@@ -79,9 +83,13 @@ def fit_bigram_lm(target: DataFrame, n_buckets: int = 1 << 16,
     the add-one model is a proper distribution over next-word buckets.
     """
     grams = _doc_bigrams(target, n_buckets, id_col, text_col)
-    uni = grams.groupBy("u").agg(F.count("*").alias("n_u"))
     bi = grams.groupBy("u", "b").agg(F.count("*").alias("n_b")) \
               .select("u", "b", "n_b")
+    # C(u) = Σ_b C(u, b) exactly (every bigram position contributes to
+    # both tables), so the context table is a re-aggregation of the
+    # (≤ n_buckets-row) bigram table — NOT a second full pass over the
+    # target corpus: one scan + tokenize + explode instead of two.
+    uni = bi.groupBy("u").agg(F.sum("n_b").alias("n_u"))
     return uni, bi
 
 
@@ -107,14 +115,25 @@ def lm_score(docs: DataFrame, target: DataFrame,
         uni, bi = target
     else:
         uni, bi = fit_bigram_lm(target, n_buckets, id_col, text_col)
+    # precompute the micro-nat NLL per BUCKET on the (≤ n_buckets-row)
+    # broadcast side — identical _nll_micro expressions, evaluated once
+    # per distinct (u, b) / per distinct unseen u / once for the
+    # never-seen-context constant, instead of two logs + a round per
+    # bigram OCCURRENCE of the scored corpus
+    bi_nll = (bi.join(uni, "u")
+              .select("u", "b",
+                      _nll_micro(F.col("n_b"), F.col("n_u"), n_buckets)
+                      .alias("_nll_b")))
+    uni_nll = uni.select(
+        "u", _nll_micro(F.lit(0), F.col("n_u"), n_buckets).alias("_nll_u"))
+    nll_unseen = _nll_micro(F.lit(0), F.lit(0), n_buckets)
     grams = _doc_bigrams(docs, n_buckets, id_col, text_col)
     scored = (grams
-              .join(F.broadcast(bi), ["u", "b"], "left")
-              .join(F.broadcast(uni), ["u"], "left")
+              .join(F.broadcast(bi_nll), ["u", "b"], "left")
+              .join(F.broadcast(uni_nll), ["u"], "left")
               .select(id_col,
-                      _nll_micro(F.coalesce(F.col("n_b"), F.lit(0)),
-                                 F.coalesce(F.col("n_u"), F.lit(0)),
-                                 n_buckets).alias("nll")))
+                      F.coalesce(F.col("_nll_b"), F.col("_nll_u"),
+                                 nll_unseen).alias("nll")))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.sum("nll").alias("nll_micro"))

@@ -84,6 +84,13 @@ def _flag_occurrences(paras: DataFrame, id_col: str,
         id_col, "para_idx",
         F.sha2(F.col("para"), 256).alias("para_hash"),
         F.length("para").alias("n_chars"))
+    if within_doc:
+        # partition the (text-free) hashed rows by id ONLY: the window's
+        # (id, para_hash) clustering is satisfied by HashPartitioning(id)
+        # — a skew-free high-cardinality key — and every downstream
+        # per-doc aggregation and join then reuses the same exchange
+        # instead of adding its own (see repetition_signals).
+        hashed = hashed.repartition(id_col)
     keys = [id_col, "para_hash"] if within_doc else ["para_hash"]
     win = Window.partitionBy(*keys).orderBy(id_col, "para_idx")
     return hashed.withColumn("occ", F.row_number().over(win))
@@ -158,6 +165,16 @@ def repetition_signals(docs: DataFrame, w: int = 2, id_col: str = "doc_id",
     character fraction"); here they're emitted as columns so the
     pipeline can gate on any threshold.
     """
+    # every aggregation in BOTH branches is keyed by the doc id (alone
+    # or with finer keys), so ONE explicit hash repartition per branch
+    # establishes a partitioning that the within-doc window, both gram
+    # aggregations, AND the final join all satisfy without further
+    # exchanges (HashPartitioning(id) clusters every (id, …) key).
+    # Before: window exchange on (id, para_hash) + groupBy(id) exchange
+    # + gcnt exchange on (id, chars, gram) + gtop exchange on
+    # (id, chars) + join exchanges — 5-6 exchanges; now 2. The id is a
+    # skew-free high-cardinality key (module scale note), and the rows
+    # repartitioned are the same narrow rows those exchanges carried.
     flagged = _flag_occurrences(paragraphs(docs, w, id_col, text_col),
                                 id_col, within_doc=True)
     dup = F.col("occ") > 1
@@ -171,7 +188,8 @@ def repetition_signals(docs: DataFrame, w: int = 2, id_col: str = "doc_id",
     t = docs.select(id_col, F.length(text_col).alias("_doc_chars"),
                     tokens(text_col).alias("_toks"))
     grams = t.select(id_col, "_doc_chars",
-                     F.explode(_bigrams(F.col("_toks"))).alias("gram"))
+                     F.explode(_bigrams(F.col("_toks"))).alias("gram")) \
+             .repartition(id_col)
     gcnt = (grams.groupBy(id_col, "_doc_chars", "gram")
                  .agg(F.count("*").cast("long").alias("cnt")))
     # max count, ties broken by smallest gram: min over (-cnt, gram)
