@@ -79,10 +79,10 @@ def global_rank(df: DataFrame, order: list[Column], *,
     # branches may sample different range boundaries and the offsets
     # would shift the wrong partitions' ranks: fail loudly rather than
     # return silently wrong numbers.
-    if spark.conf.get("spark.sql.exchangeReuseEnabled",
+    if spark.conf.get("spark.sql.exchange.reuse",
                       "true").lower() != "true":
         raise RuntimeError(
-            "global_rank requires spark.sql.exchangeReuseEnabled=true "
+            "global_rank requires spark.sql.exchange.reuse=true "
             "(pid-keyed offset join depends on the range exchange being "
             "computed once for both branches)")
 

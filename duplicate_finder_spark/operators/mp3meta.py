@@ -326,6 +326,14 @@ def mp3_frame_walk_integrity(b: bytes) -> dict | None:
         if i + flen > len(b):
             break
         prot = (b[i + 1] & 1) == 0
+        # channel mode (header byte 3, bits 6-7): MPEG-1 Layer III
+        # carries 17 side-info bytes for single-channel (mode 3) and
+        # 32 for stereo/joint/dual — the CRC span and the Xing offset
+        # both depend on it, so a mono-only walk mis-reports every
+        # protected stereo frame (r5 ADVICE). main_data_begin is the
+        # first 9 bits in either layout.
+        mode = (b[i + 3] >> 6) & 3
+        si_len = 17 if mode == 3 else 32
         off = i + 4
         stored = None
         if prot:
@@ -333,11 +341,12 @@ def mp3_frame_walk_integrity(b: bytes) -> dict | None:
                 break
             stored = (b[off] << 8) | b[off + 1]
             off += 2
-        if off + 17 > i + flen:
+        if off + si_len > i + flen:
             break
-        si_bytes = b[off:off + 17]
-        si = parse_side_info_mono(si_bytes)
-        off += 17
+        si_bytes = b[off:off + si_len]
+        mdb = ((si_bytes[0] << 1) | (si_bytes[1] >> 7)) if mode != 3 \
+            else parse_side_info_mono(si_bytes)["main_data_begin"]
+        off += si_len
         if sr is None:
             sr = s
         n += 1
@@ -345,7 +354,6 @@ def mp3_frame_walk_integrity(b: bytes) -> dict | None:
             protected += 1
             if stored == crc16_mpeg(b[i + 2:i + 4] + si_bytes):
                 crc_ok += 1
-        mdb = si["main_data_begin"]
         if mdb > 0:
             reservoir += 1
             max_mdb = max(max_mdb, mdb)

@@ -86,8 +86,20 @@ def autosize_shuffle_partitions(spark: SparkSession, df: DataFrame,
     runtime trim, exactly what initialPartitionNum is for on a real
     cluster. Call once per job after the input scan is known, before
     the first wide stage."""
+    nbytes = scan_bytes(df)
+    # non-file plans without stats report Catalyst's defaultSizeInBytes
+    # sentinel (Long.MaxValue), which would slam shuffle.partitions to
+    # the ceiling and degrade every wide stage (r5 ADVICE): treat any
+    # implausibly large estimate (> 1 PiB) as unknown and keep the
+    # session default.
+    if nbytes > (1 << 50):
+        import sys
+        print(f"autosize_shuffle_partitions: size estimate {nbytes} "
+              "implausible (no stats?); keeping session default",
+              file=sys.stderr)
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = shuffle_partitions_for(
-        scan_bytes(df), spark.sparkContext.defaultParallelism, **kw)
+        nbytes, spark.sparkContext.defaultParallelism, **kw)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
 

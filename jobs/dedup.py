@@ -96,10 +96,12 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.warehouse,
             fmt="parquet" if args.format == "warc" else args.format)
 
-        # size the shuffle to the INPUT, not the session default: an
-        # explicit spark-submit --conf wins (cluster operator knows
-        # best); otherwise derive from scanned bytes so an 8M-doc run
-        # does not push 600 MB partitions through a 16g heap
+        # size the shuffle to the INPUT, not the session default,
+        # deriving from scanned bytes so an 8M-doc run does not push
+        # 600 MB partitions through a 16g heap. NOTE: this overwrites
+        # any spark-submit --conf spark.sql.shuffle.partitions; a
+        # cluster operator who wants their conf to win must also pass
+        # --no-autosize
         if not args.no_autosize:
             from duplicate_finder_spark.partitioning import (
                 autosize_shuffle_partitions)

@@ -175,3 +175,74 @@ class TestIntegrity:
         assert got[1]["n_frames"] == 2 and got[1]["crc_ok_frames"] == 2
         assert got[2]["n_frames"] is None
         assert got[3]["n_frames"] is None
+
+
+class TestStereoSideInfo:
+    """r5 ADVICE: MPEG-1 Layer III stereo/joint/dual frames carry
+    32-byte side info; the walk must size the CRC span and the Xing
+    offset from the channel-mode bits instead of mis-parsing every
+    non-mono frame as mono."""
+
+    @staticmethod
+    def _stereo_frame(mdb=0, protection=True, xing_frames=None,
+                      corrupt_crc=False):
+        from duplicate_finder_spark.operators.mp3meta import crc16_mpeg
+        bri, sri = 9, 0                      # 128 kbps / 44100 Hz
+        flen = (144 * 128 * 1000) // 44100   # 417 bytes
+        hdr = bytes([0xFF, 0xFA if protection else 0xFB,
+                     (bri << 4) | (sri << 2), 0x00])  # mode 0 = stereo
+        si = bytearray(32)
+        si[0] = (mdb >> 1) & 0xFF
+        si[1] = (mdb & 1) << 7
+        body = bytearray()
+        if protection:
+            crc = crc16_mpeg(hdr[2:4] + bytes(si))
+            if corrupt_crc:
+                crc ^= 0xFFFF
+            body += bytes([crc >> 8, crc & 0xFF])
+        body += si
+        if xing_frames is not None:
+            body += (b"Xing" + (1).to_bytes(4, "big")
+                     + int(xing_frames).to_bytes(4, "big"))
+        assert len(body) + 4 <= flen
+        return hdr + bytes(body) + bytes(flen - 4 - len(body))
+
+    def test_stereo_crc_span_is_32_bytes(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        b = self._stereo_frame() + self._stereo_frame()
+        m = mp3_frame_walk_integrity(b)
+        assert m["n_frames"] == 2
+        assert m["protected_frames"] == 2
+        assert m["crc_ok_frames"] == 2
+
+    def test_stereo_corrupt_crc_detected(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        b = self._stereo_frame() + self._stereo_frame(corrupt_crc=True)
+        m = mp3_frame_walk_integrity(b)
+        assert m["crc_ok_frames"] == 1
+
+    def test_stereo_main_data_begin_first_9_bits(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        b = self._stereo_frame(mdb=345) + self._stereo_frame(mdb=0)
+        m = mp3_frame_walk_integrity(b)
+        assert m["reservoir_frames"] == 1
+        assert m["max_main_data_begin"] == 345
+
+    def test_stereo_xing_found_after_32_byte_side_info(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            mp3_frame_walk_integrity)
+        b = self._stereo_frame(xing_frames=7) + self._stereo_frame()
+        m = mp3_frame_walk_integrity(b)
+        assert m["has_xing"] is True
+        assert m["xing_frames"] == 7
+
+    def test_mixed_mono_and_stereo_stream(self):
+        from duplicate_finder_spark.operators.mp3meta import (
+            encode_mp3_stream, mp3_frame_walk_integrity)
+        mono = encode_mp3_stream([(9, 0)] * 2, protection=True)
+        m = mp3_frame_walk_integrity(mono + self._stereo_frame())
+        assert m["n_frames"] == 3
+        assert m["crc_ok_frames"] == 3

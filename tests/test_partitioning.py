@@ -89,3 +89,16 @@ def test_autosize_sets_conf_from_scan(spark, tmp_path):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(n2)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_autosize_skips_implausible_estimate(spark, monkeypatch):
+    """r5 ADVICE: a stats-less plan reports Catalyst's
+    defaultSizeInBytes sentinel (Long.MaxValue); autosizing must treat
+    it as unknown and keep the session default instead of slamming the
+    conf to the ceiling."""
+    from duplicate_finder_spark import partitioning as pt
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setattr(pt, "scan_bytes", lambda df: (1 << 63) - 1)
+    n = pt.autosize_shuffle_partitions(spark, spark.range(10))
+    assert n == int(before)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

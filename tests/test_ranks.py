@@ -103,3 +103,18 @@ def test_host_stats_rank_matches_naive(spark):
     got = {r["host"]: r["n_docs_rank"] for r in host_stats(pages).collect()}
     assert got == {"big.example": 1, "also4.example": 2,
                    "mid.example": 3, "tiny.example": 4}
+
+
+def test_global_rank_guard_checks_real_conf_key(spark):
+    """r5 ADVICE: the exchange-reuse guard must read the key Spark
+    actually has ('spark.sql.exchange.reuse') — the old
+    'spark.sql.exchangeReuseEnabled' does not exist, so the guard
+    could never fire."""
+    from duplicate_finder_spark.functions.ranks import global_rank
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            global_rank(spark.range(10), [F.asc("id")])
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    assert global_rank(spark.range(10), [F.asc("id")]).count() == 10
