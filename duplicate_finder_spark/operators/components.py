@@ -123,14 +123,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     # two (job-submission latency is pure fixed cost that the wide config
     # can't parallelize away, so halving it helps N→4N efficiency)
     reliable = warehouse is not None and checkpoint_every > 0
-    e = (edges.filter(F.col("src") != F.col("dst"))
-         .select("src", "dst").distinct())
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     if not reliable:
+        # no up-front distinct: duplicate input edges change neither
+        # star-round group minima nor the converged star graph (round
+        # 1's own distinct sweeps them), so the defensive exchange here
+        # bought nothing in-session. The reliable path keeps it — its
+        # content-addressed fingerprint must be stable across callers
+        # that pass the same edge SET with different duplicate counts.
         e = e.localCheckpoint(eager=False)
         base_fp = ""
     elif input_fp is not None:
+        e = e.distinct()
         base_fp = f"cc:{input_fp}"
     else:
+        e = e.distinct()
         n0, h0 = _checksum(e)
         base_fp = f"cc:{n0}:{h0}"
     prev = None
