@@ -44,8 +44,16 @@ def df_cut_stats(docs: DataFrame, k: int = 3,
     over the shingles is the honest price of the audit; call it only
     when logging the cut.
     """
+    # explode_outer, deliberately: plain explode makes the optimizer
+    # infer a `size(sh) > 0` filter below the Generate, and pushing a
+    # filter that references a UDF-computed column duplicates the
+    # Arrow shingle UDF (it runs once under the pushed filter and
+    # again in the projection — the guide §4.4 pathology, via
+    # InferFiltersFromGenerate). shingle_sets never emits a null or
+    # empty array (blank docs are filtered pre-UDF), so the outer
+    # variant is row-identical and evaluates the UDF once.
     sh = (shingle_sets(docs, k, id_col, text_col)
-          .select(F.explode("sh").alias("s")))
+          .select(F.explode_outer("sh").alias("s")))
     counts = sh.groupBy("s").count()
     return counts.agg(
         F.count("*").alias("n_distinct_shingles"),
@@ -76,7 +84,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     # back to a sizes table — |set| rides along as a constant per id.
     # The duplicated 8-byte column in the shuffle is far cheaper than a
     # second full pass over the corpus + two extra shuffles at 100 TB.
-    sh = arr.select("id", "n", F.explode("sh").alias("s"))
+    # explode_outer: same row set (shingle_sets never emits empty/null
+    # arrays) but WITHOUT the optimizer-inferred size(sh)>0 filter that
+    # plain explode adds below the Generate — that filter references
+    # the UDF output and gets pushed below it, duplicating the Arrow
+    # shingle UDF per side (guide §4.4; see df_cut_stats note)
+    sh = arr.select("id", "n", F.explode_outer("sh").alias("s"))
     if max_doc_freq is not None:
         # df-cut as a WINDOW count over the shingle exchange — the
         # candidate_pairs census shape (operators/lsh.py:37, measured

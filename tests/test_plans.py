@@ -340,3 +340,59 @@ def test_pack_sequences_single_shard_window_exchange(parquet_pages):
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ngram_jaccard_shingle_pass_runs_once(parquet_pages):
+    """r6: the df-cut is a window census on the single shingle
+    exchange, so the Arrow shingle UDF subtree has exactly one copy in
+    the optimized plan (the old groupBy + left-semi census re-scanned
+    it; both self-join sides now reuse the same exchange)."""
+    from duplicate_finder_spark.operators.jaccard import \
+        ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(parquet_pages, k=3, threshold=0.8,
+                              id_col="url", text_col="text")
+    plan = _plan(out, "simple")
+    # one UDF node per self-join side — plain explode used to make the
+    # optimizer infer a size(sh)>0 filter whose pushdown DUPLICATED the
+    # UDF within each side (4 nodes total, guide §4.4)
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BatchEvalPython" not in plan
+    # ...and at runtime the two identical sides share one exchange, so
+    # the shingle pass executes exactly once (collect() executes THIS
+    # DataFrame's own QueryExecution, making the final adaptive plan
+    # inspectable — a noop write would run a separate execution)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_video_neardup_frame_hash_pass_runs_once(spark):
+    """r6: per-video distinct hash sets come from one collect_set
+    exchange; the Python frame-hash subtree has a single consumer (one
+    MapInPandas / one aggregate over it), and no sizes table is joined
+    back (the only join is the hash self-join)."""
+    from duplicate_finder_spark.operators.videohash import \
+        video_neardup_pairs
+    fh = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11), (2, 0, 10), (2, 1, 11)],
+        "doc_id long, frame_no int, ahash long")
+
+    def run(batches):
+        for b in batches:
+            yield b
+
+    hashes = fh.mapInPandas(run, "doc_id long, frame_no int, ahash long")
+    out = video_neardup_pairs(hashes, min_jaccard=0.5)
+    plan = _plan(out, "simple")
+    # one Python node per self-join side (the old shape consumed the
+    # frame-hash subtree from a distinct + two censuses + two sizes
+    # join-backs); at runtime the two identical sides share exchanges
+    assert plan.count("MapInPandas") == 2, plan
+    # exactly one join (the ahash self-equi-join) — no size join-backs
+    joins = sum(plan.count(k) for k in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"))
+    assert joins == 1, plan
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
