@@ -287,9 +287,15 @@ def shingle_sets(docs: DataFrame, k: int, id_col: str = "doc_id",
     (docs with zero tokens excluded)."""
     tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     sh = make_shingles_udf(k)
-    return (fan_out(docs)
+    # blank-doc filter as a predicate on the RAW text, not on
+    # size(_th): the latter pushes below the fan-out exchange and
+    # re-evaluates the whole interpreted tokenize+hash transform per
+    # row in the (often single-split) scan stage. trim(text) != ''
+    # is exactly equivalent (tokens() maps blank-trim to [] and any
+    # non-blank trim splits to ≥ 1 token) and costs one trim.
+    nonblank = F.col(text_col).isNotNull() & (F.trim(text_col) != "")
+    return (fan_out(docs.filter(nonblank))
             .select(F.col(id_col).alias("id"), tok_hashes.alias("_th"))
-            .filter(F.size("_th") > 0)
             .select("id", sh("_th").alias("sh"))
             .withColumn("n", F.size("sh")))
 
@@ -318,10 +324,14 @@ def signatures(pages: DataFrame, cfg: PipelineConfig,
                                      cfg.seed)
     else:
         sig = make_signature_udf(cfg.shingle_size, cfg.num_perm, cfg.seed)
-    return (fan_out(pages)
+    # blank-doc filter on the RAW text (see shingle_sets): exactly
+    # equivalent to size(_th) > 0, but pushable to the scan for the
+    # cost of a trim instead of a second full interpreted
+    # tokenize+hash evaluation per row below the fan-out exchange
+    nonblank = F.col(text_col).isNotNull() & (F.trim(text_col) != "")
+    return (fan_out(pages.filter(nonblank))
             .select(F.col(url_col).alias("url"),
                     tok_hashes.alias("_th"))
-            .filter(F.size("_th") > 0)
             .withColumn("n_tokens", F.size("_th"))
             .withColumn("_sig", sig("_th"))
             .select("url", "n_tokens",
