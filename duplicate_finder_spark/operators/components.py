@@ -18,19 +18,26 @@ no exceptAll shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect strictly-larger neighbors to
-    min(Γ(u) ∪ {u})."""
+    min(Γ(u) ∪ {u}).
+
+    The per-u minimum rides a WINDOW over the one hash exchange on u
+    instead of a groupBy + join-back: the m-table is one row per NODE,
+    which no broadcast threshold survives at 10^12 nodes — the join
+    form degrades to a second exchange + sort-merge there, while the
+    window form is one exchange + one sort everywhere (the same
+    measured trade as the LSH bucket census, operators/lsh.py:40)."""
     nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")) \
         .unionByName(
             edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-    m = (nbrs.groupBy("u")
-         .agg(F.least(F.min("v"), F.first("u")).alias("m")))
-    return (nbrs.join(m, "u")
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (nbrs.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
             .distinct())
@@ -38,17 +45,31 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each node u over its ≤-neighbors: connect them (and u) to the
-    minimum."""
+    minimum.
+
+    Window form (see _large_star). The self-row union of the old shape
+    ("u itself is a neighbor") becomes a row_number()==1 branch over
+    the SAME windowed exchange: edges arrive oriented u > v, so
+    m = min(v) < u always, and the old join+filter emitted exactly one
+    (u, m) edge per distinct u unconditionally — which is what the
+    rank-1 branch emits, without the extra distinct + union exchange."""
     # orient edges larger → smaller
     e = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
-    m = e.groupBy("u").agg(F.min("v").alias("m"))
-    nbrs_plus_self = e.unionByName(
-        e.select("u", F.col("u").alias("v")).distinct())
-    return (nbrs_plus_self.join(m, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-            .distinct())
+    w = Window.partitionBy("u")
+    wo = Window.partitionBy("u").orderBy("v")
+    withm = (e.withColumn("m", F.min("v").over(w))
+             .withColumn("_rn", F.row_number().over(wo)))
+    members = (withm.filter(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("src"), F.col("m").alias("dst")))
+    # u != m guard: always true on loop-internal inputs (edges arrive
+    # self-loop-free, so m < u), kept so a degenerate direct call with
+    # a self-loop row cannot emit (u, u) — exact parity with the old
+    # join + v != m filter on the synthetic self row
+    self_rows = (withm.filter((F.col("_rn") == 1)
+                              & (F.col("u") != F.col("m")))
+                 .select(F.col("u").alias("src"), F.col("m").alias("dst")))
+    return members.unionByName(self_rows).distinct()
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
