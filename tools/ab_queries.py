@@ -17,7 +17,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASEWT = os.path.join(REPO, "var", "r5wt")
+# override with AB_BASE_WT to A/B against an arbitrary worktree (e.g.
+# HEAD~1) instead of the round-start default
+BASEWT = os.environ.get("AB_BASE_WT",
+                        os.path.join(REPO, "var", "r5wt"))
 
 
 def _load_entry(root: str):
