@@ -228,10 +228,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         # the converged edge set IS a star graph (fixed point of the
         # star rounds): every dst is a component root and no root ever
         # appears as a src, so the roots are exactly distinct(dst) — the
-        # anti-join against distinct(src) would remove nothing. Skipping
-        # it drops two exchanges + a join from the output plan.
-        roots = (e.select(F.col("dst").alias("url")).distinct()
-                 .select("url", F.col("url").alias("cluster_id")))
+        # anti-join against distinct(src) would remove nothing. No
+        # inner distinct either: the final distinct over the union
+        # already dedupes the (dst, dst) rows, so the output plan is
+        # one union + one exchange.
+        roots = e.select(F.col("dst").alias("url"),
+                         F.col("dst").alias("cluster_id"))
     else:
         roots = e.select(F.col("dst").alias("url")).distinct() \
             .join(e.select(F.col("src").alias("url")).distinct(),
